@@ -1,0 +1,153 @@
+"""Typed configuration for the roitr_tpu pipeline.
+
+Replaces the reference's two-level YAML flattened into a mutable EasyDict
+(reference: configs/utils.py:4-18, main.py:46) with an immutable dataclass.
+YAML files with the same two-level section structure are accepted; sections
+are flattened and validated against the known field set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # ---- misc ----
+    exp_dir: str = "exp"
+    mode: str = "train"  # train | val | test
+    verbose: bool = True
+    verbose_freq: int = 10
+    seed: int = 42
+
+    # ---- model ----
+    pretrain: str = ""
+    transformer_architecture: Sequence[str] = (
+        "self", "cross", "self", "cross", "self", "cross",
+    )
+    with_cross_pos_embed: bool = True
+    benchmark: str = "3DMatch"  # 3DMatch | 3DLoMatch | 4DMatch | 4DLoMatch
+    num_heads: int = 4
+    enc_blocks: Sequence[int] = (2, 3, 3, 3)
+    enc_strides: Sequence[int] = (1, 4, 4, 4)
+    enc_nsample: Sequence[int] = (8, 16, 16, 16)
+    # channel multiplier: 1 for rigid (3DMatch), 2 for non-rigid (4DMatch)
+    # (reference: model/RIGA_v2.py:24,28)
+    # derived from benchmark; override only for experiments
+    factor: Optional[int] = None
+
+    # ---- numerics ----
+    compute_dtype: str = "float32"  # float32 | bfloat16 (geometry stays fp32)
+
+    # ---- optim ----
+    optimizer: str = "adam"
+    lr: float = 1e-4
+    weight_decay: float = 1e-6
+    momentum: float = 0.98
+    scheduler: str = "ExpLR"
+    scheduler_gamma: float = 0.95
+    iter_size: int = 1
+
+    # ---- data ----
+    dataset: str = "tdmatch"
+    root: str = "data/indoor"
+    train_info: str = ""
+    val_info: str = ""
+    augment_noise: float = 0.005
+    rotated: bool = False
+    points_limit: int = 30000
+    # static shape buckets (multiples of 64 so every pyramid level is exact)
+    buckets: Sequence[int] = (4096, 8192, 16384, 24576, 32768)
+    normal_knn: int = 33
+
+    # ---- coarse matching ----
+    matching_radius: float = 0.05
+    num_gt_coarse_corr: int = 128
+    num_est_coarse_corr: int = 256
+    coarse_overlap_threshold: float = 0.1
+    # cap for statically-shaped GT node-correspondence candidates
+    max_gt_corr_candidates: int = 16384
+
+    # ---- fine matching ----
+    point_per_patch: int = 64
+    fine_matching_topk: int = 3
+    fine_matching_mutual: bool = True
+    fine_matching_confidence_threshold: float = 0.05
+    fine_matching_use_dustbin: bool = False
+    fine_matching_use_global_score: bool = False
+    fine_matching_correspondence_threshold: int = 3
+    sinkhorn_iters: int = 100
+
+    # ---- coarse loss ----
+    coarse_loss_positive_margin: float = 0.1
+    coarse_loss_negative_margin: float = 1.4
+    coarse_loss_positive_optimal: float = 0.1
+    coarse_loss_negative_optimal: float = 1.4
+    coarse_loss_log_scale: float = 24.0
+    coarse_loss_positive_overlap: float = 0.1
+    coarse_loss_weight: float = 1.0
+
+    # ---- fine loss ----
+    fine_loss_positive_radius: float = 0.05
+    fine_loss_weight: float = 1.0
+    occ_loss_weight: float = 0.0
+
+    # ---- eval ----
+    eval_acceptance_overlap: float = 0.0
+    eval_acceptance_radius: float = 0.1
+
+    # ---- train loop ----
+    max_epoch: int = 150
+    batch_size: int = 1
+    training_max_iter: int = 3500
+    val_max_iter: int = 500
+    scheduler_interval: int = 1
+    snapshot_interval: int = 1
+    num_workers: int = 8
+
+    # ---- parallelism ----
+    # number of data-parallel shards; None = all local devices
+    dp_size: Optional[int] = None
+
+    @property
+    def channel_factor(self) -> int:
+        if self.factor is not None:
+            return self.factor
+        return 1 if self.benchmark in ("3DMatch", "3DLoMatch") else 2
+
+    @property
+    def is_rigid(self) -> bool:
+        return self.benchmark in ("3DMatch", "3DLoMatch")
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_FIELDS = {f.name for f in dataclasses.fields(Config)}
+
+
+def load_config(path: str, **overrides) -> Config:
+    """Load a two-level YAML config (same layout as the reference's
+    configs/train/*.yaml) into a flat, validated Config."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    flat = {}
+    for section, body in raw.items():
+        if isinstance(body, dict):
+            for k, v in body.items():
+                if k in flat:
+                    raise ValueError(f"duplicate config key {k!r} in section {section!r}")
+                flat[k] = v
+        else:
+            flat[section] = body
+    flat.update(overrides)
+    unknown = set(flat) - _FIELDS
+    # tolerate reference-only keys so upstream YAMLs load unchanged
+    for k in list(unknown):
+        flat.pop(k)
+    if "transformer_architecture" in flat:
+        flat["transformer_architecture"] = tuple(flat["transformer_architecture"])
+    return Config(**flat)

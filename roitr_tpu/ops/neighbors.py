@@ -1,0 +1,101 @@
+"""Masked k-nearest-neighbor search, gathering, and 3-NN interpolation.
+
+TPU-native replacement for the reference CUDA pointops extension
+(cpp_wrappers/pointops/src/knnquery, grouping, interpolation): instead of
+per-thread heaps over offset-batched ragged tensors, we compute tiled
+distance blocks over fixed-size padded clouds and use `lax.top_k`, which XLA
+lowers to an efficient TPU sort network. Validity is expressed by prefix
+counts; invalid keys are pushed to +inf distance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from roitr_tpu.ops.geometry import pairwise_sq_dist, prefix_mask
+
+_INF = 1e10
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def masked_knn(
+    queries: jnp.ndarray,
+    keys: jnp.ndarray,
+    key_count,
+    k: int,
+    exclude_self: bool = False,
+    query_tile: int = 1024,
+):
+    """k nearest valid keys for each query.
+
+    queries: (Q, 3), keys: (N, 3) prefix-packed with `key_count` valid rows.
+    Returns (idx (Q, k) int32, dist (Q, k) sqrt-distances), sorted ascending.
+    `exclude_self=True` reproduces pointops.queryandgroup's self-exclusion
+    (reference functions/pointops.py:88-89: take k+1 nearest, drop the
+    nearest) for same-set queries.
+
+    Distances are computed in fp32 tiles of `query_tile` queries so the
+    (tile, N) block streams through VMEM instead of materializing (Q, N).
+    """
+    q, n = queries.shape[0], keys.shape[0]
+    kk = k + 1 if exclude_self else k
+    kk = min(kk, n)
+    key_invalid = ~prefix_mask(n, key_count)
+
+    qpad = _round_up(q, query_tile)
+    queries_p = jnp.pad(queries, ((0, qpad - q), (0, 0)))
+    tiles = queries_p.reshape(qpad // query_tile, query_tile, 3)
+
+    def one_tile(tile_q):
+        d2 = pairwise_sq_dist(tile_q, keys)  # (T, N)
+        d2 = jnp.where(key_invalid[None, :], _INF, d2)
+        neg, idx = jax.lax.top_k(-d2, kk)  # ascending distance
+        return idx.astype(jnp.int32), -neg
+
+    idx, d2 = jax.lax.map(one_tile, tiles)
+    idx = idx.reshape(qpad, kk)[:q]
+    d2 = d2.reshape(qpad, kk)[:q]
+    if exclude_self:
+        idx, d2 = idx[:, 1:], d2[:, 1:]
+    return idx, jnp.sqrt(d2)
+
+
+def knn_gather(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of data (N, C) by idx (..., K) -> (..., K, C).
+
+    Replaces the CUDA grouping kernel (grouping_cuda_kernel.cu:5-40); JAX
+    `take` differentiates via deterministic scatter-add on TPU.
+    """
+    return jnp.take(data, idx, axis=0)
+
+
+def three_nn_interpolate(
+    parent_xyz: jnp.ndarray,
+    child_xyz: jnp.ndarray,
+    child_feats: jnp.ndarray,
+    child_count,
+    k: int = 3,
+) -> jnp.ndarray:
+    """Inverse-distance weighted k-NN feature upsampling child -> parent.
+
+    parent_xyz: (N, 3), child_xyz: (M, 3) (prefix-packed, `child_count`
+    valid), child_feats: (M, C). Returns (N, C).
+    Matches reference pointops.interpolation (functions/pointops.py:168-182):
+    weights = (1/d) / sum(1/d) over the 3 nearest child points.
+    """
+    idx, dist = masked_knn(parent_xyz, child_xyz, child_count, k)
+    recip = 1.0 / jnp.clip(dist, min=1e-8)
+    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)  # (N, k)
+    feats = knn_gather(child_feats, idx)  # (N, k, C)
+    return jnp.sum(feats * weight[..., None], axis=1)
+
+
+def group_all(feats: jnp.ndarray) -> jnp.ndarray:
+    """All-to-all grouping (n, c) -> (n, n, c) (reference lib/utils.py:392)."""
+    return jnp.broadcast_to(feats[None, :, :], (feats.shape[0],) + feats.shape)

@@ -1,0 +1,68 @@
+"""Masked log-domain Sinkhorn optimal transport with a learnable dustbin.
+
+TPU-native equivalent of reference model/modules.py:10-72
+(`LearnableLogOptimalTransport`): the fixed-count iteration becomes a
+`lax.scan` of batched logsumexp reductions; everything is fp32 for stability
+regardless of the model's compute dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = 1e6
+
+
+def log_sinkhorn_ot(
+    scores: jnp.ndarray,
+    row_masks: jnp.ndarray,
+    col_masks: jnp.ndarray,
+    alpha: jnp.ndarray,
+    num_iter: int = 100,
+) -> jnp.ndarray:
+    """scores (B, M, N), row_masks (B, M), col_masks (B, N), alpha scalar
+    (learnable dustbin score) -> log assignment matrix (B, M+1, N+1).
+
+    Rows/cols marked invalid are pinned to -inf mass; dustbin marginals absorb
+    the counterpart side (log_mu[-1] = log(num_valid_col) + norm, etc.),
+    matching reference model/modules.py:28-68 exactly.
+    """
+    scores = scores.astype(jnp.float32)
+    b, m, n = scores.shape
+
+    padded_row_invalid = jnp.concatenate(
+        [~row_masks, jnp.zeros((b, 1), bool)], axis=1
+    )  # (B, M+1) True if ignored
+    padded_col_invalid = jnp.concatenate([~col_masks, jnp.zeros((b, 1), bool)], axis=1)
+
+    alpha = alpha.astype(jnp.float32)
+    pad_col = jnp.broadcast_to(alpha, (b, m, 1))
+    pad_row = jnp.broadcast_to(alpha, (b, 1, n + 1))
+    padded = jnp.concatenate([jnp.concatenate([scores, pad_col], axis=-1), pad_row], axis=1)
+
+    score_invalid = padded_row_invalid[:, :, None] | padded_col_invalid[:, None, :]
+    padded = jnp.where(score_invalid, -_INF, padded)
+
+    nrow = jnp.sum(row_masks, axis=1).astype(jnp.float32)
+    ncol = jnp.sum(col_masks, axis=1).astype(jnp.float32)
+    norm = -jnp.log(nrow + ncol)  # (B,)
+
+    log_mu = jnp.concatenate(
+        [jnp.broadcast_to(norm[:, None], (b, m)), (jnp.log(ncol) + norm)[:, None]], axis=1
+    )
+    log_mu = jnp.where(padded_row_invalid, -_INF, log_mu)
+    log_nu = jnp.concatenate(
+        [jnp.broadcast_to(norm[:, None], (b, n)), (jnp.log(nrow) + norm)[:, None]], axis=1
+    )
+    log_nu = jnp.where(padded_col_invalid, -_INF, log_nu)
+
+    def step(carry, _):
+        u, v = carry
+        u = log_mu - jax.nn.logsumexp(padded + v[:, None, :], axis=2)
+        v = log_nu - jax.nn.logsumexp(padded + u[:, :, None], axis=1)
+        return (u, v), None
+
+    (u, v), _ = jax.lax.scan(step, (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu)), length=num_iter)
+    out = padded + u[:, :, None] + v[:, None, :]
+    return out - norm[:, None, None]
