@@ -1,0 +1,253 @@
+"""Attention layers (flax.linen): local PPF attention, global RPE attention
+with learned positional states, and cross attention.
+
+Rebuilds reference model/transformer/{attention,geoattention}.py. Two
+TPU-motivated departures (both mathematically identical to the reference):
+
+1. The global RPE attention never materializes the projected (N, N, d)
+   positional tensors. `scores_p = q . proj_p(e)` is refactored as
+   `(q @ Wp) . e` and `sum_m A * proj_vp(e)` as `proj_vp(sum_m A * e)`,
+   contracting the head projections into the small side so only the raw
+   embedding (N, N, d) is ever resident (reference geoattention.py:101-136
+   builds two extra (B, H, N, M, c) tensors).
+2. All softmaxes are mask-safe: rows whose keys are entirely invalid
+   (padding) produce zeros instead of NaN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = -1):
+    """softmax along `axis`; `mask` True=keep. All-masked rows -> zeros."""
+    if mask is not None:
+        scores = jnp.where(mask, scores, -jnp.inf)
+    m = jnp.max(scores, axis=axis, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(scores - m)
+    if mask is not None:
+        e = jnp.where(mask, e, 0.0)
+    s = jnp.sum(e, axis=axis, keepdims=True)
+    return e / jnp.where(s == 0.0, 1.0, s)
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(..., H*c) -> (..., H, c) head-major, matching einops '(h c)'."""
+    return x.reshape(x.shape[:-1] + (num_heads, x.shape[-1] // num_heads))
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+
+
+class AttentionOutput(nn.Module):
+    """Feed-forward block: expand 2x, act, squeeze, residual LayerNorm
+    (reference attention.py:203-218)."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.d_model * 2, name="expand")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, name="squeeze")(h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + h)
+
+
+class LocalPPFAttention(nn.Module):
+    """Gathered neighborhood attention with PPF relative position terms.
+
+    Reference LocalRPEMultiHeadAttention + LocalRPEAttentionLayer
+    (attention.py:134-200, 290-320): q is the center point, k/v its K
+    neighbors, p/vp the projected PPF embedding;
+    scores = (q.k + q.p)/sqrt(c), out = A @ (v + vp), then linear +
+    LayerNorm(residual at the center point).
+    """
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,  # (N, d) — all candidate key/value points
+        pos_embed: jnp.ndarray,  # (M, K, d) — PPF embedding per neighborhood
+        node_idx: jnp.ndarray,  # (M,) — center index into feats
+        group_idx: jnp.ndarray,  # (M, K) — neighbor indices into feats
+        neighbor_mask: Optional[jnp.ndarray] = None,  # (M, K) True=valid
+    ) -> jnp.ndarray:
+        h, c = self.num_heads, self.d_model // self.num_heads
+
+        # project on the dense (N, d) side, then gather (reference order —
+        # keeps the matmul at N x d x d instead of M*K x d x d).
+        # node_idx None means centers == all points (identity gather).
+        q = nn.Dense(self.d_model, name="proj_q")(feats)
+        if node_idx is not None:
+            q = q[node_idx]  # (M, d)
+        k = nn.Dense(self.d_model, name="proj_k")(feats)[group_idx]  # (M, K, d)
+        v = nn.Dense(self.d_model, name="proj_v")(feats)[group_idx]
+        p = nn.Dense(self.d_model, name="proj_p")(pos_embed)  # (M, K, d)
+        vp = nn.Dense(self.d_model, name="proj_vp")(pos_embed)
+
+        qh = _split_heads(q, h)  # (M, H, c)
+        kh = _split_heads(k, h)  # (M, K, H, c)
+        vh = _split_heads(v, h)
+        ph = _split_heads(p, h)
+        vph = _split_heads(vp, h)
+
+        scores = (
+            jnp.einsum("mhc,mkhc->mhk", qh, kh) + jnp.einsum("mhc,mkhc->mhk", qh, ph)
+        ) / jnp.sqrt(jnp.asarray(c, feats.dtype))
+        attn = masked_softmax(
+            scores, None if neighbor_mask is None else neighbor_mask[:, None, :]
+        )  # (M, H, K)
+        hidden = jnp.einsum("mhk,mkhc->mhc", attn, vh + vph)
+        hidden = _merge_heads(hidden)  # (M, d)
+
+        hidden = nn.Dense(self.d_model, name="linear")(hidden)
+        residual = feats if node_idx is None else feats[node_idx]
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(hidden + residual)
+
+
+class LocalPPFTransformer(nn.Module):
+    """in_proj -> PPF embed -> local attention -> out_proj
+    (reference ppftransformer.py:202-253)."""
+
+    input_dim: int
+    hidden_dim: int
+    output_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, feats, node_idx, group_idx, ppf, neighbor_mask=None):
+        pos = nn.Dense(self.hidden_dim, name="embedding_proj")(ppf)  # local PPFEmbedding
+        x = nn.Dense(self.hidden_dim, name="in_proj")(feats)
+        x = LocalPPFAttention(self.hidden_dim, self.num_heads, name="attention")(
+            x, pos, node_idx, group_idx, neighbor_mask
+        )
+        return nn.Dense(self.output_dim, name="out_proj")(x)
+
+
+class GlobalRPESelfAttention(nn.Module):
+    """Self attention over coarse nodes with geometric relative position
+    embedding, also emitting learned positional states.
+
+    Reference RPEMultiHeadAttention + RPEAttentionLayer
+    (geoattention.py:69-232): scores = (q.k + q.p)/sqrt(c); hidden = A @ v;
+    pos_states = sum_m A_selfexcluded * vp (self-excluding softmax,
+    geoattention.py:117-134). Projections of the (N, N, d) embedding are
+    contracted into q / pulled out of the sum (see module docstring).
+    """
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (N, d)
+        embed: jnp.ndarray,  # (N, N, d) geometric structure embedding
+        key_mask: Optional[jnp.ndarray] = None,  # (N,) True=valid
+    ):
+        h, c = self.num_heads, self.d_model // self.num_heads
+        n = x.shape[0]
+
+        q = _split_heads(nn.Dense(self.d_model, name="proj_q")(x), h)  # (N, H, c)
+        k = _split_heads(nn.Dense(self.d_model, name="proj_k")(x), h)
+        v = _split_heads(nn.Dense(self.d_model, name="proj_v")(x), h)
+
+        # factored q . proj_p(e): contract q into the projection kernel
+        wp = self.param("proj_p_kernel", nn.initializers.lecun_normal(), (self.d_model, self.d_model))
+        bp = self.param("proj_p_bias", nn.initializers.zeros, (self.d_model,))
+        # qwp[n, h, D] = sum_c q[n, h, c] * wp[D, h*cph + c]
+        wp_h = wp.reshape(self.d_model, h, c)  # (D_in, H, c)
+        qwp = jnp.einsum("nhc,dhc->nhd", q, wp_h)  # (N, H, D_in)
+        scores_p = jnp.einsum("nhd,nmd->hnm", qwp, embed)
+        # bias of proj_p contributes q . b_p, constant along the key axis
+        # (softmax-invariant, kept for score parity)
+        qb = jnp.einsum("nhc,hc->hn", q, bp.reshape(h, c))  # (H, N)
+        scores_p = scores_p + qb[:, :, None]
+        scores_e = jnp.einsum("nhc,mhc->hnm", q, k)
+        scores = (scores_e + scores_p) / jnp.sqrt(jnp.asarray(c, x.dtype))  # (H, N, N)
+
+        kmask = None if key_mask is None else key_mask[None, None, :]
+        attn = masked_softmax(scores, kmask)  # (H, N, N)
+        hidden = jnp.einsum("hnm,mhc->nhc", attn, v)
+        hidden = _merge_heads(hidden)
+
+        # self-excluding softmax for positional states
+        eye = jnp.eye(n, dtype=bool)[None]
+        self_mask = ~eye if kmask is None else (~eye & kmask)
+        attn_pos = masked_softmax(scores, self_mask)  # (H, N, N)
+        ae = jnp.einsum("hnm,nmd->nhd", attn_pos, embed)  # (N, H, D_in)
+        wvp = self.param("proj_vp_kernel", nn.initializers.lecun_normal(), (self.d_model, self.d_model))
+        bvp = self.param("proj_vp_bias", nn.initializers.zeros, (self.d_model,))
+        wvp_h = wvp.reshape(self.d_model, h, c)  # (D_in, H, c)
+        pos_states = jnp.einsum("nhd,dhc->nhc", ae, wvp_h) + bvp.reshape(h, c)[None]
+        pos_states = _merge_heads(pos_states)  # (N, d)
+
+        return hidden, pos_states
+
+
+class RPESelfLayer(nn.Module):
+    """RPEAttentionLayer + RPETransformerLayer wrapper
+    (geoattention.py:196-261): attention -> linear -> LayerNorm(residual),
+    pos: linear -> LayerNorm, then FFN on both streams."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, embed, key_mask=None):
+        hidden, pos = GlobalRPESelfAttention(self.d_model, self.num_heads, name="attention")(
+            x, embed, key_mask
+        )
+        hidden = nn.Dense(self.d_model, name="linear")(hidden)
+        out = nn.LayerNorm(epsilon=1e-5, name="norm")(hidden + x)
+
+        pos = nn.Dense(self.d_model, name="pos_linear")(pos)
+        pos = nn.LayerNorm(epsilon=1e-5, name="pos_norm")(pos)
+
+        out = AttentionOutput(self.d_model, name="output")(out)
+        pos = AttentionOutput(self.d_model, name="pos_proj")(pos)
+        return out, pos
+
+
+class CrossAttentionLayer(nn.Module):
+    """Cross attention where learned positional states are added to the
+    q/k inputs before projection (reference geoattention.py:10-66, 264-292:
+    input_q + pos_q, input_k + pos_k), followed by linear + residual
+    LayerNorm and the FFN."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (N, d) queries
+        mem: jnp.ndarray,  # (M, d) keys/values
+        pos_q: Optional[jnp.ndarray],  # (N, d)
+        pos_k: Optional[jnp.ndarray],  # (M, d)
+        key_mask: Optional[jnp.ndarray] = None,  # (M,)
+    ) -> jnp.ndarray:
+        h, c = self.num_heads, self.d_model // self.num_heads
+        in_q = x if pos_q is None else x + pos_q
+        in_k = mem if pos_k is None else mem + pos_k
+
+        q = _split_heads(nn.Dense(self.d_model, name="proj_q")(in_q), h)
+        k = _split_heads(nn.Dense(self.d_model, name="proj_k")(in_k), h)
+        v = _split_heads(nn.Dense(self.d_model, name="proj_v")(mem), h)
+
+        scores = jnp.einsum("nhc,mhc->hnm", q, k) / jnp.sqrt(jnp.asarray(c, x.dtype))
+        attn = masked_softmax(scores, None if key_mask is None else key_mask[None, None, :])
+        hidden = _merge_heads(jnp.einsum("hnm,mhc->nhc", attn, v))
+
+        hidden = nn.Dense(self.d_model, name="linear")(hidden)
+        out = nn.LayerNorm(epsilon=1e-5, name="norm")(hidden + x)
+        return AttentionOutput(self.d_model, name="output")(out)

@@ -1,0 +1,281 @@
+"""Rotation-invariant point transformer backbone (PAM encoder-decoder).
+
+Rebuilds reference model/model.py:13-237 (`RIPointTransformer`) for padded
+prefix-packed clouds: a 4-level U-Net where every level attends over kNN
+neighborhoods using PPF relative geometry, a global geometric transformer at
+the coarsest level, and an interpolating decoder.
+
+Per-level self-kNN indices and PPFs are computed once and shared by every
+block at that level — encoder blocks and the decoder block alike (the
+reference caches them the same way via the idx/ppf slots threaded through
+block lists, model.py:28-44, 223-231).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from roitr_tpu.models.attention import LocalPPFTransformer
+from roitr_tpu.models.transformer import GeometricTransformer
+from roitr_tpu.ops.fps import furthest_point_sampling
+from roitr_tpu.ops.geometry import calc_ppf, prefix_mask
+from roitr_tpu.ops.neighbors import masked_knn, three_nn_interpolate
+
+
+class Level(NamedTuple):
+    """One resolution level of a cloud (static shapes, prefix-packed)."""
+
+    points: jnp.ndarray  # (M, 3)
+    normals: jnp.ndarray  # (M, 3)
+    feats: jnp.ndarray  # (M, C)
+    count: jnp.ndarray  # () int32 — valid prefix length
+    group_idx: jnp.ndarray  # (M, K) self-kNN (excl. self)
+    ppf: jnp.ndarray  # (M, K, 4)
+    neighbor_mask: jnp.ndarray  # (M, K)
+    down_idx: Optional[jnp.ndarray]  # (M,) index into the parent level
+
+
+def _self_neighborhood(points, normals, count, nsample):
+    """Self-kNN (excluding the point itself) + PPFs for one level."""
+    group_idx, _ = masked_knn(points, points, count, nsample, exclude_self=True)
+    neighbor_mask = group_idx < count
+    ppf = calc_ppf(points, normals, points[group_idx], normals[group_idx])
+    return group_idx, ppf, neighbor_mask
+
+
+class TransitionDown(nn.Module):
+    """FPS downsample + cross-kNN PPF attention pooling into the sampled set
+    (reference model.py:47-80)."""
+
+    out_dim: int
+    hidden_dim: int
+    num_heads: int
+    stride: int
+    nsample: int
+
+    @nn.compact
+    def __call__(self, points, normals, feats, count):
+        n = points.shape[0]
+        if self.stride != 1:
+            m = n // self.stride
+            idx = furthest_point_sampling(points, count, m)
+            new_count = jnp.maximum(count // self.stride, 1)
+            new_points, new_normals = points[idx], normals[idx]
+        else:
+            m = n
+            idx = None
+            new_count = count
+            new_points, new_normals = points, normals
+
+        query = new_points
+        group_idx, _ = masked_knn(query, points, count, self.nsample, exclude_self=True)
+        neighbor_mask = group_idx < count
+        ppf = calc_ppf(new_points, new_normals, points[group_idx], normals[group_idx])
+
+        x = LocalPPFTransformer(
+            input_dim=feats.shape[-1],
+            hidden_dim=self.hidden_dim,
+            output_dim=self.out_dim,
+            num_heads=self.num_heads,
+            name="transformer",
+        )(feats, idx, group_idx, ppf, neighbor_mask)
+        return new_points, new_normals, x, new_count, idx
+
+
+class PointBlock(nn.Module):
+    """RIPointTransformerBlock (reference model.py:120-142): local PPF
+    attention + LayerNorm + residual + ReLU over a fixed level."""
+
+    dim: int
+    hidden_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, feats, group_idx, ppf, neighbor_mask):
+        identity = feats
+        x = LocalPPFTransformer(
+            input_dim=self.dim,
+            hidden_dim=self.hidden_dim,
+            output_dim=self.dim,
+            num_heads=self.num_heads,
+            name="transformer",
+        )(feats, None, group_idx, ppf, neighbor_mask)
+        x = nn.LayerNorm(epsilon=1e-5, name="bn2")(x)
+        return nn.relu(x + identity)
+
+
+class TransitionUpHead(nn.Module):
+    """Coarsest-level decoder head: concat per-cloud mean-pooled global
+    feature (reference model.py:99-112, is_head branch)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, feats, count):
+        mask = prefix_mask(feats.shape[0], count)[:, None]
+        denom = jnp.maximum(count, 1).astype(feats.dtype)
+        pooled = jnp.sum(jnp.where(mask, feats, 0.0), axis=0, keepdims=True) / denom
+        g = nn.relu(nn.Dense(self.dim, name="linear2")(pooled))
+        x = jnp.concatenate([feats, jnp.broadcast_to(g, feats.shape)], axis=-1)
+        x = nn.Dense(self.dim, name="linear1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        return nn.relu(x)
+
+
+class TransitionUp(nn.Module):
+    """Decoder upsample: lateral projection + 3-NN inverse-distance
+    interpolation of the coarser level (reference model.py:113-117)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, points, feats, coarse_points, coarse_feats, coarse_count):
+        x1 = nn.Dense(self.out_dim, name="linear1")(feats)
+        x1 = nn.relu(nn.LayerNorm(epsilon=1e-5, name="norm1")(x1))
+        x2 = nn.Dense(self.out_dim, name="linear2")(coarse_feats)
+        x2 = nn.relu(nn.LayerNorm(epsilon=1e-5, name="norm2")(x2))
+        up = three_nn_interpolate(points, coarse_points, x2, coarse_count)
+        return x1 + up
+
+
+class RIPointTransformer(nn.Module):
+    """The full backbone (reference model.py:145-237)."""
+
+    transformer_blocks: Sequence[str]
+    factor: int = 1
+    num_heads: int = 4
+    enc_blocks: Sequence[int] = (2, 3, 3, 3)
+    strides: Sequence[int] = (1, 4, 4, 4)
+    nsample: Sequence[int] = (8, 16, 16, 16)
+
+    def setup(self):
+        f = self.factor
+        self.planes = [64 * f, 128 * f, 256 * f, 256 * f]
+        hid = lambda p: min(p, 256 * f)
+        enc = []
+        in_dim = 1
+        for lvl in range(4):
+            p = self.planes[lvl]
+            stage = {
+                "down": TransitionDown(
+                    out_dim=p,
+                    hidden_dim=hid(p),
+                    num_heads=self.num_heads,
+                    stride=self.strides[lvl],
+                    nsample=self.nsample[lvl],
+                    name=f"enc{lvl + 1}_down",
+                ),
+                "blocks": [
+                    PointBlock(p, hid(p), self.num_heads, name=f"enc{lvl + 1}_block{b}")
+                    for b in range(1, self.enc_blocks[lvl])
+                ],
+            }
+            enc.append(stage)
+            in_dim = p
+        self.enc = enc
+
+        self.global_transformer = GeometricTransformer(
+            input_dim=self.planes[3],
+            output_dim=self.planes[3],
+            hidden_dim=self.planes[3],
+            num_heads=self.num_heads,
+            blocks=self.transformer_blocks,
+            sigma_d=0.2,
+            sigma_a=15.0,
+            angle_k=3,
+            name="global_transformer",
+        )
+
+        self.dec4_up = TransitionUpHead(self.planes[3], name="dec4_up")
+        self.dec4_block = PointBlock(
+            self.planes[3], hid(self.planes[3]), self.num_heads, name="dec4_block"
+        )
+        self.dec3_up = TransitionUp(self.planes[2], name="dec3_up")
+        self.dec3_block = PointBlock(
+            self.planes[2], hid(self.planes[2]), self.num_heads, name="dec3_block"
+        )
+        self.dec2_up = TransitionUp(self.planes[1], name="dec2_up")
+        self.dec2_block = PointBlock(
+            self.planes[1], hid(self.planes[1]), self.num_heads, name="dec2_block"
+        )
+        self.dec1_up = TransitionUp(self.planes[0], name="dec1_up")
+        self.dec1_block = PointBlock(
+            self.planes[0], hid(self.planes[0]), self.num_heads, name="dec1_block"
+        )
+
+    def encode(self, points, normals, feats, count) -> Tuple[Level, ...]:
+        levels = []
+        p, nrm, x, cnt = points, normals, feats, count
+        for lvl in range(4):
+            stage = self.enc[lvl]
+            p, nrm, x, cnt, down_idx = stage["down"](p, nrm, x, cnt)
+            group_idx, ppf, nmask = _self_neighborhood(p, nrm, cnt, self.nsample[lvl])
+            for block in stage["blocks"]:
+                x = block(x, group_idx, ppf, nmask)
+            levels.append(Level(p, nrm, x, cnt, group_idx, ppf, nmask, down_idx))
+        return tuple(levels)
+
+    def decode(self, levels: Tuple[Level, ...]) -> Tuple[jnp.ndarray, ...]:
+        l1, l2, l3, l4 = levels
+        x4 = self.dec4_up(l4.feats, l4.count)
+        x4 = self.dec4_block(x4, l4.group_idx, l4.ppf, l4.neighbor_mask)
+        x3 = self.dec3_up(l3.points, l3.feats, l4.points, x4, l4.count)
+        x3 = self.dec3_block(x3, l3.group_idx, l3.ppf, l3.neighbor_mask)
+        x2 = self.dec2_up(l2.points, l2.feats, l3.points, x3, l3.count)
+        x2 = self.dec2_block(x2, l2.group_idx, l2.ppf, l2.neighbor_mask)
+        x1 = self.dec1_up(l1.points, l1.feats, l2.points, x2, l2.count)
+        x1 = self.dec1_block(x1, l1.group_idx, l1.ppf, l1.neighbor_mask)
+        return x1, x2, x3, x4
+
+    def __call__(
+        self,
+        src_points,  # (N, 3) raw source (backbone geometry input)
+        src_normals,
+        src_feats,
+        src_count,
+        tgt_points,
+        tgt_normals,
+        tgt_feats,
+        tgt_count,
+        src_deformed,  # (N, 3) deformed source (4DMatch; == src_points for rigid)
+    ):
+        s_levels = self.encode(src_points, src_normals, src_feats, src_count)
+        t_levels = self.encode(tgt_points, tgt_normals, tgt_feats, tgt_count)
+        s4, t4 = s_levels[3], t_levels[3]
+
+        s_mask4 = prefix_mask(s4.points.shape[0], s4.count)
+        t_mask4 = prefix_mask(t4.points.shape[0], t4.count)
+        s_gx4, t_gx4 = self.global_transformer(
+            s4.points,
+            t4.points,
+            s4.feats,
+            t4.feats,
+            ref_count=s4.count,
+            src_count=t4.count,
+            ref_masks=s_mask4,
+            src_masks=t_mask4,
+        )
+
+        s_x1, _, _, _ = self.decode(s_levels)
+        t_x1, _, _, _ = self.decode(t_levels)
+
+        # chain FPS indices back to raw ordering (reference model.py:233-235)
+        idx3_in_1 = s_levels[1].down_idx[s_levels[2].down_idx]
+        idx4_in_1 = idx3_in_1[s_levels[3].down_idx]
+        s_nodes = src_deformed[idx4_in_1]
+
+        return (
+            s_nodes,  # (N4, 3) source nodes (in deformed frame)
+            s_gx4,  # (N4, C) source node features (globally refined)
+            src_deformed,  # (N, 3) source points
+            s_x1,  # (N, C1) source point features
+            s4.count,
+            t4.points,
+            t_gx4,
+            t_levels[0].points,
+            t_x1,
+            t4.count,
+        )

@@ -1,0 +1,199 @@
+"""Coarse and fine matching heads with static-shape, fixed-capacity outputs.
+
+Rebuilds reference model/modules.py:75-324. The reference relies on
+`nonzero`/ragged outputs; here every head emits fixed-size index/score
+buffers plus validity masks so the whole pipeline jits:
+
+- coarse matching: global top-k is already fixed-size (k=256);
+- GT correspondence sampling: Gumbel top-k without replacement over the
+  masked candidate set (equivalent in distribution to np.random.choice
+  without replacement);
+- fine matching: mutual top-k bounds the matches per patch at K*topk, so a
+  per-patch top-(K*topk) extraction is *exact* — no truncation, no raggedness.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from roitr_tpu.models.attention import masked_softmax  # noqa: F401  (re-export convenience)
+from roitr_tpu.ops.geometry import pairwise_sq_dist
+
+
+class CoarseCorr(NamedTuple):
+    ref_indices: jnp.ndarray  # (P,) int32
+    src_indices: jnp.ndarray  # (P,) int32
+    scores: jnp.ndarray  # (P,)
+    masks: jnp.ndarray  # (P,) bool
+
+
+def coarse_matching(
+    ref_feats: jnp.ndarray,
+    src_feats: jnp.ndarray,
+    ref_masks: jnp.ndarray,
+    src_masks: jnp.ndarray,
+    num_correspondences: int,
+    dual_normalization: bool = True,
+) -> CoarseCorr:
+    """Top-k superpoint matching by exp(-feature distance) similarity with
+    optional dual row/col normalization (reference modules.py:135-178).
+
+    Invalid rows/cols contribute zero similarity, which reproduces the
+    reference's remove-empty-then-topk behavior without index compaction.
+    """
+    d2 = pairwise_sq_dist(ref_feats, src_feats)
+    scores = jnp.exp(-d2)
+    pair_mask = ref_masks[:, None] & src_masks[None, :]
+    scores = jnp.where(pair_mask, scores, 0.0)
+    if dual_normalization:
+        ref_scores = scores / (jnp.sum(scores, axis=1, keepdims=True) + 1e-8)
+        src_scores = scores / (jnp.sum(scores, axis=0, keepdims=True) + 1e-8)
+        scores = ref_scores * src_scores
+
+    n = scores.shape[1]
+    k = min(num_correspondences, scores.size)
+    corr_scores, flat_idx = jax.lax.top_k(scores.reshape(-1), k)
+    ref_idx = (flat_idx // n).astype(jnp.int32)
+    src_idx = (flat_idx % n).astype(jnp.int32)
+    valid = corr_scores > 0.0
+    return CoarseCorr(ref_idx, src_idx, corr_scores, valid)
+
+
+def adaptive_superpoint_matching(
+    src_feats: jnp.ndarray,
+    tgt_feats: jnp.ndarray,
+    src_masks: jnp.ndarray,
+    tgt_masks: jnp.ndarray,
+    min_num_correspondences: int,
+    capacity: int,
+    similarity_threshold: float = 0.75,
+) -> CoarseCorr:
+    """Threshold-adaptive superpoint matching for non-rigid benchmarks
+    (reference modules.py:75-124): keep every pair whose normalized feature
+    distance <= threshold; if fewer than `min_num_correspondences`, fall back
+    to the smallest distances. The reference output is ragged; here the
+    `capacity` smallest distances form the fixed buffer and slots are valid
+    if they pass the threshold or rank below the minimum count.
+
+    Returns CoarseCorr with (src, tgt) in the reference's argument order:
+    ref_indices=src, src_indices=tgt (the caller re-orients).
+    """
+    d2 = pairwise_sq_dist(src_feats, tgt_feats, normalized=True)
+    dist = jnp.sqrt(d2)
+    pair_mask = src_masks[:, None] & tgt_masks[None, :]
+    dist = jnp.where(pair_mask, dist, jnp.inf)
+
+    n = dist.shape[1]
+    cap = min(capacity, dist.size)
+    neg, flat_idx = jax.lax.top_k(-dist.reshape(-1), cap)
+    corr_dist = -neg
+    src_idx = (flat_idx // n).astype(jnp.int32)
+    tgt_idx = (flat_idx % n).astype(jnp.int32)
+
+    min_k = min(min_num_correspondences, cap)
+    rank = jnp.arange(cap)
+    finite = jnp.isfinite(corr_dist)
+    valid = finite & ((corr_dist <= similarity_threshold) | (rank < min_k))
+    scores = jnp.where(valid, jnp.exp(-corr_dist), 0.0)
+    return CoarseCorr(src_idx, tgt_idx, scores, valid)
+
+
+def gt_coarse_corr_generator(
+    rng: jax.Array,
+    gt_corr_indices: jnp.ndarray,  # (C, 2) [ref, src]
+    gt_corr_overlaps: jnp.ndarray,  # (C,)
+    gt_corr_masks: jnp.ndarray,  # (C,)
+    num_targets: int,
+    overlap_threshold: float,
+) -> CoarseCorr:
+    """Randomly select up to `num_targets` GT correspondences with overlap
+    above the threshold (reference modules.py:181-213). Sampling without
+    replacement is done with the Gumbel top-k trick over the eligible set.
+    """
+    eligible = gt_corr_masks & (gt_corr_overlaps > overlap_threshold)
+    gumbel = jax.random.gumbel(rng, gt_corr_overlaps.shape)
+    keys = jnp.where(eligible, gumbel, -jnp.inf)
+    _, sel = jax.lax.top_k(keys, num_targets)
+    valid = eligible[sel]
+    sel_safe = jnp.where(valid, sel, 0)
+    ref_idx = jnp.where(valid, gt_corr_indices[sel_safe, 0], 0)
+    src_idx = jnp.where(valid, gt_corr_indices[sel_safe, 1], 0)
+    overlaps = jnp.where(valid, gt_corr_overlaps[sel_safe], 0.0)
+    return CoarseCorr(ref_idx.astype(jnp.int32), src_idx.astype(jnp.int32), overlaps, valid)
+
+
+class FineCorr(NamedTuple):
+    ref_points: jnp.ndarray  # (P * cap, 3)
+    src_points: jnp.ndarray  # (P * cap, 3)
+    scores: jnp.ndarray  # (P * cap,)
+    masks: jnp.ndarray  # (P * cap,) bool
+
+
+def _topk_scatter_mask(scores: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """Boolean mask marking the top-k entries of `scores` along `axis`,
+    scatter-style (exact reference semantics incl. tie handling via index
+    order, modules.py:251-264)."""
+    moved = jnp.moveaxis(scores, axis, -1)
+    _, idx = jax.lax.top_k(moved, k)
+    onehot = jax.nn.one_hot(idx, moved.shape[-1], dtype=bool)  # (..., k, D)
+    mask = jnp.any(onehot, axis=-2)
+    return jnp.moveaxis(mask, -1, axis)
+
+
+def fine_matching(
+    ref_knn_points: jnp.ndarray,  # (P, K, 3)
+    src_knn_points: jnp.ndarray,  # (P, K, 3)
+    ref_knn_masks: jnp.ndarray,  # (P, K)
+    src_knn_masks: jnp.ndarray,  # (P, K)
+    score_mat: jnp.ndarray,  # (P, K, K) log-likelihood (dustbin stripped)
+    patch_masks: jnp.ndarray,  # (P,) validity of each patch correspondence
+    global_scores: Optional[jnp.ndarray] = None,  # (P,)
+    k: int = 3,
+    mutual: bool = True,
+    confidence_threshold: float = 0.05,
+    use_global_score: bool = False,
+) -> FineCorr:
+    """Point matching inside matched patches (reference modules.py:216-324).
+
+    A point pair matches when its exp-score is in the row top-k (and, if
+    mutual, the column top-k) and above the confidence threshold. Extraction
+    uses a per-patch top-(K*k) — an upper bound on matches per patch under
+    mutual/or merging, so the fixed buffer is exact.
+    """
+    p, kk = score_mat.shape[0], score_mat.shape[1]
+    scores = jnp.exp(score_mat)
+
+    mask_mat = ref_knn_masks[:, :, None] & src_knn_masks[:, None, :]
+    ref_top = _topk_scatter_mask(scores, k, axis=2)
+    src_top = _topk_scatter_mask(scores, k, axis=1)
+    above = scores > confidence_threshold
+    ref_corr = ref_top & above
+    src_corr = src_top & above
+    corr_mat = (ref_corr & src_corr) if mutual else (ref_corr | src_corr)
+    corr_mat = corr_mat & mask_mat & patch_masks[:, None, None]
+
+    if use_global_score and global_scores is not None:
+        scores = scores * global_scores[:, None, None]
+    scores = jnp.where(corr_mat, scores, 0.0)
+
+    # max matches per patch: <= K*k under AND (row top-k bound); <= 2*K*k
+    # under OR (row bound + column bound)
+    cap = min(kk * k if mutual else 2 * kk * k, kk * kk)
+    flat = scores.reshape(p, kk * kk)
+    top_scores, flat_idx = jax.lax.top_k(flat, cap)  # (P, cap)
+    ri = flat_idx // kk
+    si = flat_idx % kk
+    valid = top_scores > 0.0
+
+    batch = jnp.arange(p, dtype=jnp.int32)[:, None]
+    ref_pts = ref_knn_points[batch, ri]  # (P, cap, 3)
+    src_pts = src_knn_points[batch, si]
+    return FineCorr(
+        ref_pts.reshape(-1, 3),
+        src_pts.reshape(-1, 3),
+        top_scores.reshape(-1),
+        valid.reshape(-1),
+    )

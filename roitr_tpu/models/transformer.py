@@ -1,0 +1,70 @@
+"""Global geometric transformer over coarse nodes (flax.linen).
+
+Rebuilds reference model/transformer/geotransformer.py:14-133: interleaved
+'self'/'cross' blocks where each self block emits learned rotation-invariant
+positional states that the following cross block adds to its q/k inputs.
+One layer instance serves both clouds (shared weights), as in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from roitr_tpu.models.attention import CrossAttentionLayer, RPESelfLayer
+from roitr_tpu.models.embeddings import GeometricStructureEmbedding
+
+
+class GeometricTransformer(nn.Module):
+    """embedding -> in_proj -> [self|cross]* -> out_proj
+    (reference geotransformer.py:56-133)."""
+
+    input_dim: int
+    output_dim: int
+    hidden_dim: int
+    num_heads: int
+    blocks: Sequence[str]
+    sigma_d: float = 0.2
+    sigma_a: float = 15.0
+    angle_k: int = 3
+
+    @nn.compact
+    def __call__(
+        self,
+        ref_points: jnp.ndarray,  # (N, 3)
+        src_points: jnp.ndarray,  # (M, 3)
+        ref_feats: jnp.ndarray,  # (N, C)
+        src_feats: jnp.ndarray,  # (M, C)
+        ref_count=None,
+        src_count=None,
+        ref_masks: Optional[jnp.ndarray] = None,
+        src_masks: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        embedding = GeometricStructureEmbedding(
+            self.hidden_dim, self.sigma_d, self.sigma_a, self.angle_k, name="embedding"
+        )
+        ref_embed = embedding(ref_points, ref_count)
+        src_embed = embedding(src_points, src_count)
+
+        in_proj = nn.Dense(self.hidden_dim, name="in_proj")
+        feats0, feats1 = in_proj(ref_feats), in_proj(src_feats)
+
+        pos0 = pos1 = None
+        for i, block in enumerate(self.blocks):
+            if block == "self":
+                layer = RPESelfLayer(self.hidden_dim, self.num_heads, name=f"layers_{i}")
+                feats0, pos0 = layer(feats0, ref_embed, ref_masks)
+                feats1, pos1 = layer(feats1, src_embed, src_masks)
+            elif block == "cross":
+                layer = CrossAttentionLayer(self.hidden_dim, self.num_heads, name=f"layers_{i}")
+                # sequential, not parallel: the second call attends to the
+                # already-updated feats0 (reference geotransformer.py:45-46)
+                feats0 = layer(feats0, feats1, pos0, pos1, src_masks)
+                feats1 = layer(feats1, feats0, pos1, pos0, ref_masks)
+            else:
+                raise ValueError(f"unknown block type {block!r}")
+
+        out_proj = nn.Dense(self.output_dim, name="out_proj")
+        return out_proj(feats0), out_proj(feats1)

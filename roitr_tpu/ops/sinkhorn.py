@@ -46,6 +46,11 @@ def log_sinkhorn_ot(
 
     nrow = jnp.sum(row_masks, axis=1).astype(jnp.float32)
     ncol = jnp.sum(col_masks, axis=1).astype(jnp.float32)
+    # clamp to >= 1 so fully-masked patch slots (possible with fixed-capacity
+    # correspondence buffers, unlike the reference) stay finite; valid
+    # patches always have nrow, ncol >= 1 and are unaffected
+    nrow = jnp.maximum(nrow, 1.0)
+    ncol = jnp.maximum(ncol, 1.0)
     norm = -jnp.log(nrow + ncol)  # (B,)
 
     log_mu = jnp.concatenate(
