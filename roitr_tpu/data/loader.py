@@ -1,0 +1,122 @@
+"""Bucketed batching + prefetching loader (host side).
+
+Replaces the reference's torch DataLoader + offset-concatenating collate_fn
+(dataset/common.py:50-126, dataset/dataloader.py): pairs padded to the same
+bucket are stacked along a leading batch axis, ready to shard over the
+`data` mesh axis. A background thread pipeline overlaps preprocessing with
+device compute (the reference used 8 worker processes; here normals are the
+only heavy host step).
+
+Per-host sharding replaces torch DistributedSampler: each JAX process
+strides the index list by process_index (reference main.py:105-108).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from roitr_tpu.models.roitr import PairInputs
+
+
+def dict_to_pair(d: Dict[str, np.ndarray]) -> PairInputs:
+    return PairInputs(
+        src_points=d["src_points"],
+        src_raw_points=d["src_raw_points"],
+        src_normals=d["src_normals"],
+        src_feats=d["src_feats"],
+        src_count=d["src_count"],
+        tgt_points=d["tgt_points"],
+        tgt_normals=d["tgt_normals"],
+        tgt_feats=d["tgt_feats"],
+        tgt_count=d["tgt_count"],
+        rot=d["rot"],
+        trans=d["trans"],
+    )
+
+
+def stack_batch(items: List[PairInputs]) -> PairInputs:
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *items)
+
+
+class BucketBatcher:
+    """Groups same-bucket pairs into batches; flushes ragged remainders by
+    repeating the last pair (masked duplicates are harmless for eval and
+    negligible for training)."""
+
+    def __init__(self, batch_size: int):
+        self.batch_size = batch_size
+        self._pending: Dict[int, List[PairInputs]] = {}
+
+    def add(self, pair: PairInputs) -> Optional[PairInputs]:
+        bucket = pair.src_points.shape[0]
+        pend = self._pending.setdefault(bucket, [])
+        pend.append(pair)
+        if len(pend) == self.batch_size:
+            batch = stack_batch(pend)
+            self._pending[bucket] = []
+            return batch
+        return None
+
+    def flush(self) -> List[PairInputs]:
+        out = []
+        for bucket, pend in self._pending.items():
+            if pend:
+                while len(pend) < self.batch_size:
+                    pend.append(pend[-1])
+                out.append(stack_batch(pend))
+        self._pending = {}
+        return out
+
+
+def iterate_batches(
+    dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
+    max_items: Optional[int] = None,
+    prefetch: int = 2,
+) -> Iterator[PairInputs]:
+    """Yield stacked PairInputs batches, prefetched on a background thread."""
+    indices = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(indices)
+    indices = indices[process_index::process_count]
+    if max_items is not None:
+        indices = indices[:max_items]
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def worker():
+        batcher = BucketBatcher(batch_size)
+        try:
+            for i in indices:
+                if stop.is_set():
+                    return
+                pair = dict_to_pair(dataset[int(i)])
+                batch = batcher.add(pair)
+                if batch is not None:
+                    q.put(batch)
+            for batch in batcher.flush():
+                q.put(batch)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            yield batch
+    finally:
+        stop.set()

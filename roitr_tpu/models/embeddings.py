@@ -83,9 +83,11 @@ class GeometricStructureEmbedding(nn.Module):
         dist = jnp.sqrt(jnp.where(sq >= _INF, 1e-12, sq))
         d_indices = jnp.sqrt(masked_pairwise_sq_dist(points, points, fill=1e-12)) / self.sigma_d
 
-        k = self.angle_k
-        _, knn_idx = jax.lax.top_k(-sq, k + 1)  # self first (dist 0)
-        knn_idx = knn_idx[:, 1:]  # (N, k)
+        # clamp for tiny node sets (padded buckets can leave < angle_k+1
+        # nodes; the reference never sees this case)
+        k = max(min(self.angle_k, n - 1), 1)
+        _, knn_idx = jax.lax.top_k(-sq, min(k + 1, n))  # self first (dist 0)
+        knn_idx = knn_idx[:, 1:] if n > 1 else knn_idx  # (N, k)
         knn_points = points[knn_idx]  # (N, k, 3)
         ref_vec = knn_points - points[:, None, :]  # (N, k, 3)
         anc_vec = points[None, :, :] - points[:, None, :]  # (N, N, 3)

@@ -116,6 +116,7 @@ def gt_coarse_corr_generator(
     eligible = gt_corr_masks & (gt_corr_overlaps > overlap_threshold)
     gumbel = jax.random.gumbel(rng, gt_corr_overlaps.shape)
     keys = jnp.where(eligible, gumbel, -jnp.inf)
+    num_targets = min(num_targets, keys.shape[0])
     _, sel = jax.lax.top_k(keys, num_targets)
     valid = eligible[sel]
     sel_safe = jnp.where(valid, sel, 0)
