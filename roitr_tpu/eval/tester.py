@@ -1,0 +1,115 @@
+"""Test-split inference + evaluator-compatible dumps.
+
+Rebuilds reference lib/tester.py:11-88: run the pipeline over each test
+pair and dump one file per pair with the exact key set the unchanged
+`registration/` evaluators read (tester.py:56-68). Fixed-capacity device
+buffers are trimmed to their valid counts on host before dumping, restoring
+the reference's ragged shapes.
+
+Dump format: torch .pth when torch is importable (bit-compatible with the
+reference evaluators), else .npz with the same keys.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from roitr_tpu.config import Config
+from roitr_tpu.data import get_dataset
+from roitr_tpu.data.loader import dict_to_pair
+from roitr_tpu.models.roitr import RoITr
+from roitr_tpu.train.checkpoint import load_checkpoint
+
+
+def trim_outputs(out: Dict, pair, metric_index=None) -> Dict[str, np.ndarray]:
+    """Slice fixed-capacity buffers down to valid entries (host side)."""
+    sc = int(out["src_count"])
+    tc = int(out["tgt_count"])
+    snc = int(out["src_node_count"])
+    tnc = int(out["tgt_node_count"])
+    cmask = np.asarray(out["corr_masks"])
+
+    data = {
+        "src_raw_pcd": np.asarray(pair.src_raw_points)[:sc],
+        "src_pcd": np.asarray(out["src_points"])[:sc],
+        "tgt_pcd": np.asarray(out["tgt_points"])[:tc],
+        "src_nodes": np.asarray(out["src_nodes"])[:snc],
+        "tgt_nodes": np.asarray(out["tgt_nodes"])[:tnc],
+        "src_node_desc": np.asarray(out["src_node_feats"])[:snc],
+        "tgt_node_desc": np.asarray(out["tgt_node_feats"])[:tnc],
+        "src_point_desc": np.asarray(out["src_point_feats"])[:sc],
+        "tgt_point_desc": np.asarray(out["tgt_point_feats"])[:tc],
+        "src_corr_pts": np.asarray(out["src_corr_points"])[cmask],
+        "tgt_corr_pts": np.asarray(out["tgt_corr_points"])[cmask],
+        "confidence": np.asarray(out["corr_scores"])[cmask],
+        "gt_tgt_node_occ": np.asarray(out["gt_tgt_node_occ"])[:tnc],
+        "gt_src_node_occ": np.asarray(out["gt_src_node_occ"])[:snc],
+        "rot": np.asarray(pair.rot),
+        "trans": np.asarray(pair.trans),
+    }
+    if metric_index is not None:
+        data["metric_index_list"] = np.asarray(metric_index)
+    return data
+
+
+def dump_pair(path_base: str, data: Dict[str, np.ndarray]):
+    try:
+        import torch
+
+        torch.save(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in data.items()},
+            path_base + ".pth",
+        )
+    except ImportError:
+        np.savez(path_base + ".npz", **data)
+
+
+class Tester:
+    """Batch-1 inference loop dumping per-pair files
+    (reference lib/tester.py:19-69)."""
+
+    def __init__(self, cfg: Config, dataset=None, params=None):
+        self.cfg = cfg
+        self.snapshot_dir = os.path.join("snapshot", cfg.exp_dir, cfg.benchmark)
+        os.makedirs(self.snapshot_dir, exist_ok=True)
+        self.dataset = dataset if dataset is not None else get_dataset(cfg, "test")
+        self.model = RoITr(cfg)
+        if params is None:
+            if not cfg.pretrain:
+                raise ValueError("Tester needs cfg.pretrain or explicit params")
+            restored = load_checkpoint(cfg.pretrain)
+            params = restored["params"] if "params" in restored else restored
+        self.params = params
+        # one jit cache entry per bucket size
+        self._fwd = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x, train=False)
+        )
+
+    def test(self):
+        n = len(self.dataset)
+        t_total = 0.0
+        for idx in range(n):
+            item = self.dataset[idx]
+            pair = dict_to_pair(item)
+            t0 = time.perf_counter()
+            out = self._fwd(self.params, pair)
+            out = jax.tree_util.tree_map(np.asarray, out)  # host fetch = fence
+            t_total += time.perf_counter() - t0
+            data = trim_outputs(out, pair, metric_index=item.get("metric_index"))
+            dump_pair(os.path.join(self.snapshot_dir, str(idx)), data)
+        if n:
+            print(f"tested {n} pairs, {t_total / n:.3f}s/pair (incl. compile)")
+
+
+def get_trainer(cfg: Config):
+    """Mode dispatch (reference lib/tester.py:78-88)."""
+    from roitr_tpu.train.trainer import Trainer
+
+    if cfg.mode in ("train", "val"):
+        return Trainer(cfg)
+    return Tester(cfg)

@@ -24,6 +24,7 @@ from roitr_tpu.ops.geometry import prefix_mask
 
 def furthest_point_sampling(points: jnp.ndarray, count, num_samples: int):
     """points: (N, 3) with `count` valid prefix rows -> idx (num_samples,) int32."""
+    points = jnp.asarray(points)  # fori_loop traces: numpy inputs must be lifted
     n = points.shape[0]
     valid = prefix_mask(n, count)
     # invalid points hold -inf so argmax never selects them

@@ -50,9 +50,10 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
 def create_train_state(
     cfg: Config, model: RoITr, example_pair: PairInputs, rng, tx
 ) -> TrainState:
-    params = model.init(
-        {"params": rng, "sampling": jax.random.PRNGKey(0)}, example_pair, train=True
-    )["params"]
+    example_pair = jax.tree_util.tree_map(jnp.asarray, example_pair)
+    params = jax.jit(
+        lambda p: model.init({"params": rng, "sampling": jax.random.PRNGKey(0)}, p, train=True)
+    )(example_pair)["params"]
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
 
 

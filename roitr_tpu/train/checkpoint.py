@@ -26,8 +26,8 @@ def save_checkpoint(path: str, state, epoch: int, best_metrics: Dict[str, float]
         "params": state.params,
         "opt_state": state.opt_state,
         "step": state.step,
-        "epoch": np.int32(epoch),
-        "best_metrics": {k: np.float32(v) for k, v in best_metrics.items()},
+        "epoch": np.asarray(epoch, np.int32),
+        "best_metrics": {k: np.asarray(v, np.float32) for k, v in best_metrics.items()},
     }
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, ckpt, force=True)
@@ -42,8 +42,8 @@ def load_checkpoint(path: str, abstract_state=None) -> Dict[str, Any]:
             "params": abstract_state.params,
             "opt_state": abstract_state.opt_state,
             "step": abstract_state.step,
-            "epoch": np.int32(0),
-            "best_metrics": {k: np.float32(0) for k in BEST_METRICS},
+            "epoch": np.asarray(0, np.int32),
+            "best_metrics": {k: np.asarray(0, np.float32) for k in BEST_METRICS},
         }
         target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
         return ckptr.restore(path, target)

@@ -1,0 +1,157 @@
+"""Trainer / Tester / checkpoint integration on tiny synthetic datasets."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from roitr_tpu.config import Config
+from roitr_tpu.data.synthetic import make_pair_arrays
+from roitr_tpu.train.checkpoint import (
+    init_best_metrics,
+    load_checkpoint,
+    save_checkpoint,
+    update_bests,
+)
+
+TINY = Config(
+    num_est_coarse_corr=8,
+    num_gt_coarse_corr=8,
+    point_per_patch=8,
+    sinkhorn_iters=5,
+    max_gt_corr_candidates=16,
+    buckets=(128,),
+    normal_knn=9,
+    batch_size=1,
+    max_epoch=1,
+    verbose=False,
+    training_max_iter=2,
+    val_max_iter=2,
+    dp_size=1,
+)
+
+
+class SyntheticDataset:
+    """Duck-typed dataset yielding preprocessed dicts like TDMatchDataset."""
+
+    def __init__(self, n, bucket=128, seed=0):
+        self.n = n
+        self.bucket = bucket
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        from roitr_tpu.data.preprocess import estimate_normals_np, normal_redirect_np
+
+        rng = np.random.RandomState(self.seed + i)
+        arr = make_pair_arrays(rng, self.bucket, self.bucket - 8, self.bucket - 24)
+        sc, tc = int(arr["src_count"]), int(arr["tgt_count"])
+        sn = np.zeros((self.bucket, 3), np.float32)
+        tn = np.zeros((self.bucket, 3), np.float32)
+        sn[:sc] = normal_redirect_np(
+            arr["src_points"][:sc], estimate_normals_np(arr["src_points"][:sc], 9), np.zeros(3)
+        )
+        tn[:tc] = normal_redirect_np(
+            arr["tgt_points"][:tc], estimate_normals_np(arr["tgt_points"][:tc], 9), np.zeros(3)
+        )
+        ones = np.ones((self.bucket, 1), np.float32)
+        return {
+            **arr,
+            "src_normals": sn,
+            "tgt_normals": tn,
+            "src_feats": ones,
+            "tgt_feats": ones,
+        }
+
+
+def test_update_bests():
+    best = init_best_metrics()
+    improved = update_bests(best, {"loss": 1.0, "PIR": 0.5, "IR": 0.2,
+                                   "c_loss": 0.6, "f_loss": 0.4, "o_loss": 0.0})
+    assert all(improved.values())
+    improved = update_bests(best, {"loss": 2.0, "PIR": 0.6, "IR": 0.1,
+                                   "c_loss": 0.7, "f_loss": 0.5, "o_loss": 0.0})
+    assert improved["PIR"] and not improved["loss"] and not improved["IR"]
+    assert best["loss"] == 1.0 and best["PIR"] == 0.6
+
+
+def test_trainer_one_epoch(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from roitr_tpu.train.trainer import Trainer
+
+    ds = SyntheticDataset(4)
+    trainer = Trainer(TINY, train_dataset=ds, val_dataset=SyntheticDataset(2, seed=50))
+    bests = trainer.train()
+    assert np.isfinite(bests["loss"])
+    assert int(trainer.state.step) == 2
+    # checkpoints exist: per-epoch + per-best
+    ckpts = os.listdir(os.path.join("snapshot", TINY.exp_dir, "checkpoints"))
+    assert "model_0" in ckpts
+    assert "model_best_loss" in ckpts
+    # events written
+    assert os.path.exists(os.path.join("snapshot", TINY.exp_dir, "events.jsonl"))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import optax
+
+    from roitr_tpu.data.loader import dict_to_pair
+    from roitr_tpu.models.roitr import RoITr
+    from roitr_tpu.parallel.train_step import create_train_state, make_optimizer
+
+    ds = SyntheticDataset(1)
+    pair = dict_to_pair(ds[0])
+    model = RoITr(TINY)
+    tx = make_optimizer(TINY, 10)
+    state = create_train_state(TINY, model, pair, jax.random.PRNGKey(0), tx)
+
+    path = str(tmp_path / "ckpt")
+    best = init_best_metrics()
+    best["loss"] = 0.5
+    save_checkpoint(path, state, epoch=3, best_metrics=best)
+    restored = load_checkpoint(path, abstract_state=state)
+    assert int(restored["epoch"]) == 3
+    assert float(restored["best_metrics"]["loss"]) == 0.5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tester_dumps_files(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import torch
+
+    from roitr_tpu.data.loader import dict_to_pair
+    from roitr_tpu.eval.tester import Tester
+    from roitr_tpu.models.roitr import RoITr
+
+    cfg = TINY.replace(mode="test", exp_dir="test_exp")
+    ds = SyntheticDataset(2)
+    model = RoITr(cfg)
+    pair = dict_to_pair(ds[0])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, pair, train=False
+    )["params"]
+
+    tester = Tester(cfg, dataset=ds, params=params)
+    tester.test()
+
+    dump0 = os.path.join("snapshot", cfg.exp_dir, cfg.benchmark, "0.pth")
+    assert os.path.exists(dump0)
+    data = torch.load(dump0, weights_only=False)
+    for key in [
+        "src_raw_pcd", "src_pcd", "tgt_pcd", "src_nodes", "tgt_nodes",
+        "src_node_desc", "tgt_node_desc", "src_point_desc", "tgt_point_desc",
+        "src_corr_pts", "tgt_corr_pts", "confidence",
+        "gt_tgt_node_occ", "gt_src_node_occ", "rot", "trans",
+    ]:
+        assert key in data, key
+    # ragged shapes restored: valid counts only
+    assert data["src_pcd"].shape == (120, 3)
+    assert data["src_nodes"].shape[0] == 120 // 64 or data["src_nodes"].shape[0] == 2
+    assert data["src_corr_pts"].shape == data["tgt_corr_pts"].shape
+    assert data["confidence"].shape[0] == data["src_corr_pts"].shape[0]
