@@ -1,0 +1,175 @@
+"""Tests for the offline evaluation stack: RANSAC, trajectory IO, Redwood
+benchmark, rotated protocol, NFMR."""
+
+import os
+
+import numpy as np
+import pytest
+
+from roitr_tpu.eval.ransac import (
+    get_inlier_ratio_correspondence,
+    kabsch,
+    ransac_pose_estimation_correspondences,
+)
+from roitr_tpu.eval.trajectory import (
+    compute_transformation_error,
+    mat2quat,
+    read_trajectory,
+    read_trajectory_info,
+    rotation_error_deg,
+    write_trajectory,
+)
+
+
+def rand_rot(rng):
+    q, _ = np.linalg.qr(rng.randn(3, 3))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    return q
+
+
+def test_kabsch_batched(rng):
+    src = rng.randn(5, 10, 3)
+    rots = np.stack([rand_rot(rng) for _ in range(5)])
+    ts = rng.randn(5, 3)
+    tgt = np.einsum("bij,bnj->bni", rots, src) + ts[:, None]
+    r, t = kabsch(src, tgt)
+    np.testing.assert_allclose(r, rots, atol=1e-8)
+    np.testing.assert_allclose(t, ts, atol=1e-8)
+
+
+def test_ransac_recovers_pose_with_outliers(rng):
+    n_in, n_out = 200, 300
+    src_in = rng.rand(n_in, 3) * 3
+    r_gt, t_gt = rand_rot(rng), rng.randn(3)
+    tgt_in = src_in @ r_gt.T + t_gt + rng.randn(n_in, 3) * 0.005
+    src_out = rng.rand(n_out, 3) * 3
+    tgt_out = rng.rand(n_out, 3) * 3
+    src = np.concatenate([src_in, src_out])
+    tgt = np.concatenate([tgt_in, tgt_out])
+    perm = rng.permutation(n_in + n_out)
+
+    tsfm = ransac_pose_estimation_correspondences(
+        src[perm], tgt[perm], max_iterations=5000, seed=0
+    )
+    np.testing.assert_allclose(tsfm[:3, :3], r_gt, atol=2e-2)
+    np.testing.assert_allclose(tsfm[:3, 3], t_gt, atol=2e-2)
+
+    ir = get_inlier_ratio_correspondence(src, tgt, r_gt, t_gt.reshape(3, 1))
+    assert abs(ir - n_in / (n_in + n_out)) < 0.05
+
+
+def test_ransac_degenerate_inputs():
+    eye = ransac_pose_estimation_correspondences(
+        np.zeros((2, 3)), np.zeros((2, 3)), max_iterations=100
+    )
+    np.testing.assert_array_equal(eye, np.eye(4))
+
+
+def test_mat2quat(rng):
+    for _ in range(10):
+        r = rand_rot(rng)
+        q = mat2quat(r)
+        w, x, y, z = q
+        # rebuild rotation from quaternion
+        rr = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+        np.testing.assert_allclose(rr, r, atol=1e-8)
+
+
+def test_transformation_error_identity():
+    info = np.eye(6)
+    assert compute_transformation_error(np.eye(4), info) == 0.0
+    t = np.eye(4)
+    t[:3, 3] = [0.1, 0, 0]
+    assert compute_transformation_error(t, info) > 0
+
+
+def test_trajectory_roundtrip(tmp_path, rng):
+    traj = np.stack([np.eye(4) for _ in range(3)])
+    traj[1, :3, 3] = [1, 2, 3]
+    metadata = [["0", "1", True], ["1", "2", True], ["2", "3", True]]
+    path = str(tmp_path / "est.log")
+    write_trajectory(traj, metadata, path)
+    keys, traj2 = read_trajectory(path)
+    np.testing.assert_allclose(traj2, traj, atol=1e-9)
+    assert keys.shape == (3, 3)
+
+
+def _make_scene(gt_dir, est_dir, scene, rng, n_pairs=4, n_frag=8, perturb=None):
+    """Create a synthetic Redwood scene with gt.log/gt.info + est.log."""
+    os.makedirs(os.path.join(gt_dir, scene), exist_ok=True)
+    os.makedirs(os.path.join(est_dir, scene), exist_ok=True)
+    gt_lines, info_lines, est_traj, metadata = [], [], [], []
+    for p in range(n_pairs):
+        i, j = p, p + 2  # non-consecutive
+        t = np.eye(4)
+        t[:3, :3] = rand_rot(rng)
+        t[:3, 3] = rng.randn(3)
+        gt_lines.append((i, j, n_frag, t))
+        info_lines.append((i, j, n_frag, np.eye(6) * 100))
+        est = t.copy()
+        if perturb is not None and p < perturb:
+            est[:3, 3] += 1.0  # gross error
+        est_traj.append(est)
+        metadata.append([str(i), str(j), True])
+    with open(os.path.join(gt_dir, scene, "gt.log"), "w") as f:
+        for i, j, n, t in gt_lines:
+            f.write(f"{i}\t{j}\t{n}\n")
+            for row in t:
+                f.write("\t".join(f"{v:.12f}" for v in row) + "\n")
+    with open(os.path.join(gt_dir, scene, "gt.info"), "w") as f:
+        for i, j, n, info in info_lines:
+            f.write(f"{i}\t{j}\t{n}\n")
+            for row in info:
+                f.write("\t".join(f"{v:.6f}" for v in row) + "\n")
+    write_trajectory(np.stack(est_traj), metadata, os.path.join(est_dir, scene, "est.log"))
+
+
+def test_benchmark_protocol(tmp_path, rng):
+    from roitr_tpu.eval.benchmark import benchmark
+
+    gt_dir = str(tmp_path / "gt")
+    est_dir = str(tmp_path / "est")
+    _make_scene(gt_dir, est_dir, "sceneA", rng, n_pairs=4, perturb=0)
+    _make_scene(gt_dir, est_dir, "sceneB", rng, n_pairs=4, perturb=2)
+    res = benchmark(est_dir, gt_dir)
+    # the Redwood-protocol code (faithfully reproducing reference
+    # benchmark.py:241-248) stores pair indices in gt_mask and tests
+    # `gt_mask > 0`, so the pair at index 0 is never evaluated: each scene
+    # counts 3 of its 4 pairs. sceneA: 3/3 good; sceneB: bad pairs are idx
+    # 0 (excluded) and 1 -> 2/3 good.
+    assert res["mean_recall"] == pytest.approx((1.0 + 2.0 / 3.0) / 2)
+    assert os.path.exists(os.path.join(est_dir, "result"))
+
+
+def test_nfmr_perfect_prediction(rng):
+    """If predicted matches exactly realize the GT flow, NFMR == 1."""
+    from roitr_tpu.eval.fdmatch_eval import compute_nrfmr
+
+    n = 400
+    s_pcd = rng.rand(n, 3).astype(np.float32)
+    flow = rng.randn(n, 3).astype(np.float32) * 0.02
+    rot = rand_rot(rng).astype(np.float32)
+    trans = rng.randn(3, 1).astype(np.float32)
+    s_deformed = s_pcd + flow
+    tgt_of_src = (rot @ s_deformed.T + trans).T
+
+    data = {
+        "src_raw_pcd": s_pcd,
+        "src_pcd": s_deformed,
+        "metric_index_list": np.arange(0, n, 7),
+        "rot": rot,
+        "trans": trans,
+        "src_corr_pts": s_deformed,  # matched in deformed frame
+        "tgt_corr_pts": tgt_of_src,  # perfect targets
+    }
+    assert compute_nrfmr(data) == pytest.approx(1.0)
+
+    # corrupt predictions -> low recall
+    data_bad = dict(data)
+    data_bad["tgt_corr_pts"] = tgt_of_src + 1.0
+    assert compute_nrfmr(data_bad) < 0.1
