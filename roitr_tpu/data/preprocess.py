@@ -21,7 +21,18 @@ def estimate_normals_np(points: np.ndarray, k: int = 33) -> np.ndarray:
 
     Matches Open3D estimate_normals(KDTreeSearchParamKNN(knn=k)) up to sign:
     the smallest-eigenvalue eigenvector of the neighborhood covariance.
+    Uses the native C++ KD-tree when built (roitr_tpu/native); the scipy
+    path below is the reference implementation and fallback.
     """
+    try:
+        from roitr_tpu import native
+
+        if native.available():
+            # native output is already viewpoint-oriented toward the origin;
+            # callers re-orient via normal_redirect_np, which is idempotent
+            return native.estimate_normals(points, k=k)
+    except Exception:
+        pass
     n = points.shape[0]
     k = min(k, n)
     tree = cKDTree(points)
