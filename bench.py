@@ -44,21 +44,21 @@ def main():
 
     fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False))
 
-    # NOTE: on the axon tunnel backend block_until_ready returns before the
-    # device finishes; fetching a device-computed scalar to host is the only
-    # reliable fence, so each timed call ends with a 4-byte fetch.
-    def step(params, pair):
-        return float(fwd(params, pair)["matching_scores"].sum())
+    # Throughput is measured pipelined: ITERS forwards are enqueued
+    # asynchronously and fenced once by fetching a device-computed scalar
+    # (on the axon tunnel backend block_until_ready returns early; a host
+    # fetch is the only reliable fence, and the ~33 ms host<->device
+    # round-trip would otherwise dominate a per-call measurement).
+    def fence(out):
+        return float(out["matching_scores"].sum())
 
-    step(params, pair)  # compile
-    step(params, pair)  # warmup
+    fence(fwd(params, pair))  # compile
+    fence(fwd(params, pair))  # warmup
 
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        step(params, pair)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    t0 = time.perf_counter()
+    outs = [fwd(params, pair) for _ in range(ITERS)]
+    fence(outs[-1])
+    dt = (time.perf_counter() - t0) / ITERS
     pairs_per_sec = 1.0 / dt
 
     print(

@@ -242,8 +242,39 @@ class RIPointTransformer(nn.Module):
         tgt_count,
         src_deformed,  # (N, 3) deformed source (4DMatch; == src_points for rigid)
     ):
-        s_levels = self.encode(src_points, src_normals, src_feats, src_count)
-        t_levels = self.encode(tgt_points, tgt_normals, tgt_feats, tgt_count)
+        # Both clouds share one bucket, so the encoder and decoder run as a
+        # single vmapped program over a leading (2,) cloud axis: one XLA
+        # kernel sequence instead of two, and every matmul sees twice the
+        # batch (the reference runs the encoder twice, model.py:195-204).
+        if src_points.shape == tgt_points.shape:
+            stacked = tuple(
+                jnp.stack([a, b])
+                for a, b in [
+                    (src_points, tgt_points),
+                    (src_normals, tgt_normals),
+                    (src_feats, tgt_feats),
+                ]
+            ) + (jnp.stack([jnp.asarray(src_count), jnp.asarray(tgt_count)]),)
+            encode_v = nn.vmap(
+                lambda mdl, p, nrm, f, c: mdl.encode(p, nrm, f, c),
+                variable_axes={"params": None},
+                split_rngs={"params": False},
+            )
+            levels_b = encode_v(self, *stacked)
+            decode_v = nn.vmap(
+                lambda mdl, lv: mdl.decode(lv),
+                variable_axes={"params": None},
+                split_rngs={"params": False},
+            )
+            x1_b, _, _, _ = decode_v(self, levels_b)
+            pick = lambda lv, i: Level(*(None if f is None else f[i] for f in lv))
+            s_levels = tuple(pick(lv, 0) for lv in levels_b)
+            t_levels = tuple(pick(lv, 1) for lv in levels_b)
+            s_x1_pre, t_x1_pre = x1_b[0], x1_b[1]
+        else:
+            s_levels = self.encode(src_points, src_normals, src_feats, src_count)
+            t_levels = self.encode(tgt_points, tgt_normals, tgt_feats, tgt_count)
+            s_x1_pre = t_x1_pre = None
         s4, t4 = s_levels[3], t_levels[3]
 
         s_mask4 = prefix_mask(s4.points.shape[0], s4.count)
@@ -259,8 +290,11 @@ class RIPointTransformer(nn.Module):
             src_masks=t_mask4,
         )
 
-        s_x1, _, _, _ = self.decode(s_levels)
-        t_x1, _, _, _ = self.decode(t_levels)
+        if s_x1_pre is not None:
+            s_x1, t_x1 = s_x1_pre, t_x1_pre
+        else:
+            s_x1, _, _, _ = self.decode(s_levels)
+            t_x1, _, _, _ = self.decode(t_levels)
 
         # chain FPS indices back to raw ordering (reference model.py:233-235)
         idx3_in_1 = s_levels[1].down_idx[s_levels[2].down_idx]

@@ -81,7 +81,15 @@ class RoITr(nn.Module):
         # learnable Sinkhorn dustbin score (reference modules.py:18)
         self.ot_alpha = self.param("ot_alpha", nn.initializers.ones, ())
 
-    def __call__(self, pair: PairInputs, train: bool = False) -> Dict[str, Any]:
+    def __call__(
+        self, pair: PairInputs, train: bool = False, with_gt: bool = True
+    ) -> Dict[str, Any]:
+        """`with_gt=False` is a serving-mode fast path: skips GT patch
+        correspondences + occlusion scores (the reference computes them even
+        in test mode purely for analysis dumps, RIGA_v2.py:91-116). Training
+        requires with_gt=True."""
+        if train and not with_gt:
+            raise ValueError("training requires with_gt=True")
         cfg = self.cfg
         out: Dict[str, Any] = {}
 
@@ -139,36 +147,49 @@ class RoITr(nn.Module):
         src_node_knn_points = src_padded_points[src_part.node_knn_indices]
         tgt_node_knn_points = tgt_padded_points[tgt_part.node_knn_indices]
 
-        # ---- GT node correspondences + occlusion (always computed, dumped
-        # for analysis in test mode too — reference RIGA_v2.py:91-116)
-        gt_corr = node_correspondences(
-            tgt_nodes,
-            src_nodes,
-            tgt_node_knn_points,
-            src_node_knn_points,
-            pair.rot,
-            pair.trans,
-            cfg.matching_radius,
-            ref_masks=tgt_part.node_masks,
-            src_masks=src_part.node_masks,
-            ref_knn_masks=tgt_part.node_knn_masks,
-            src_knn_masks=src_part.node_knn_masks,
-            max_candidates=cfg.max_gt_corr_candidates,
-        )
-        gt_tgt_occ, gt_src_occ = node_occlusion_score(
-            tgt_part.node_knn_indices,
-            src_part.node_knn_indices,
-            tgt_padded_points,
-            src_padded_points,
-            pair.tgt_count,
-            pair.src_count,
-            pair.rot,
-            pair.trans,
-            ref_masks=tgt_part.node_masks,
-            src_masks=src_part.node_masks,
-            ref_knn_masks=tgt_part.node_knn_masks,
-            src_knn_masks=src_part.node_knn_masks,
-        )
+        # ---- GT node correspondences + occlusion (always computed in the
+        # reference, dumped for analysis in test mode too — RIGA_v2.py:91-116;
+        # skipped in serving mode)
+        if with_gt:
+            gt_corr = node_correspondences(
+                tgt_nodes,
+                src_nodes,
+                tgt_node_knn_points,
+                src_node_knn_points,
+                pair.rot,
+                pair.trans,
+                cfg.matching_radius,
+                ref_masks=tgt_part.node_masks,
+                src_masks=src_part.node_masks,
+                ref_knn_masks=tgt_part.node_knn_masks,
+                src_knn_masks=src_part.node_knn_masks,
+                max_candidates=cfg.max_gt_corr_candidates,
+            )
+            gt_tgt_occ, gt_src_occ = node_occlusion_score(
+                tgt_part.node_knn_indices,
+                src_part.node_knn_indices,
+                tgt_padded_points,
+                src_padded_points,
+                pair.tgt_count,
+                pair.src_count,
+                pair.rot,
+                pair.trans,
+                ref_masks=tgt_part.node_masks,
+                src_masks=src_part.node_masks,
+                ref_knn_masks=tgt_part.node_knn_masks,
+                src_knn_masks=src_part.node_knn_masks,
+            )
+        else:
+            from roitr_tpu.ops.partition import NodeCorrespondences
+
+            c = min(cfg.max_gt_corr_candidates, tgt_nodes.shape[0] * src_nodes.shape[0])
+            gt_corr = NodeCorrespondences(
+                jnp.zeros((c, 2), jnp.int32),
+                jnp.zeros((c,), jnp.float32),
+                jnp.zeros((c,), bool),
+            )
+            gt_tgt_occ = jnp.zeros((tgt_nodes.shape[0],), jnp.float32)
+            gt_src_occ = jnp.zeros((src_nodes.shape[0],), jnp.float32)
         out["gt_node_corr_indices"] = gt_corr.indices
         out["gt_node_corr_overlaps"] = gt_corr.overlaps
         out["gt_node_corr_masks"] = gt_corr.masks

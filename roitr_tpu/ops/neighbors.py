@@ -43,14 +43,12 @@ def masked_knn(
     Distances are computed in fp32 tiles of `query_tile` queries so the
     (tile, N) block streams through VMEM instead of materializing (Q, N).
     """
+    queries = jnp.asarray(queries)
+    keys = jnp.asarray(keys)
     q, n = queries.shape[0], keys.shape[0]
     kk = k + 1 if exclude_self else k
     kk = min(kk, n)
     key_invalid = ~prefix_mask(n, key_count)
-
-    qpad = _round_up(q, query_tile)
-    queries_p = jnp.pad(queries, ((0, qpad - q), (0, 0)))
-    tiles = queries_p.reshape(qpad // query_tile, query_tile, 3)
 
     def one_tile(tile_q):
         d2 = pairwise_sq_dist(tile_q, keys)  # (T, N)
@@ -58,9 +56,17 @@ def masked_knn(
         neg, idx = jax.lax.top_k(-d2, kk)  # ascending distance
         return idx.astype(jnp.int32), -neg
 
-    idx, d2 = jax.lax.map(one_tile, tiles)
-    idx = idx.reshape(qpad, kk)[:q]
-    d2 = d2.reshape(qpad, kk)[:q]
+    if q * n <= 8 * 1024 * 1024:
+        # small problem: one shot — the full distance matrix is cheap and a
+        # sequential lax.map would only add dispatch latency
+        idx, d2 = one_tile(queries)
+    else:
+        qpad = _round_up(q, query_tile)
+        queries_p = jnp.pad(queries, ((0, qpad - q), (0, 0)))
+        tiles = queries_p.reshape(qpad // query_tile, query_tile, 3)
+        idx, d2 = jax.lax.map(one_tile, tiles)
+        idx = idx.reshape(qpad, kk)[:q]
+        d2 = d2.reshape(qpad, kk)[:q]
     if exclude_self:
         idx, d2 = idx[:, 1:], d2[:, 1:]
     return idx, jnp.sqrt(d2)
