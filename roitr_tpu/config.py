@@ -62,6 +62,9 @@ class Config:
     # static shape buckets (multiples of 64 so every pyramid level is exact)
     buckets: Sequence[int] = (4096, 8192, 16384, 24576, 32768)
     normal_knn: int = 33
+    # precompute the FPS/kNN pyramid on the host (overlapped in the loader;
+    # device fallback when False). ~2x device speedup at 16k+ points.
+    host_pyramid: bool = False
 
     # ---- coarse matching ----
     matching_radius: float = 0.05

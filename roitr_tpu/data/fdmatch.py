@@ -114,4 +114,9 @@ class FDMatchDataset:
         }
         if metric_index is not None:
             out["metric_index"] = metric_index
+        if cfg.host_pyramid:
+            from roitr_tpu.data.pyramid import build_cloud_pyramid
+
+            out["src_pyramid"] = build_cloud_pyramid(raw, s_cnt)
+            out["tgt_pyramid"] = build_cloud_pyramid(t_pts, t_cnt)
         return out

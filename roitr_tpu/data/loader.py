@@ -35,6 +35,8 @@ def dict_to_pair(d: Dict[str, np.ndarray]) -> PairInputs:
         tgt_count=d["tgt_count"],
         rot=d["rot"],
         trans=d["trans"],
+        src_pyramid=d.get("src_pyramid"),
+        tgt_pyramid=d.get("tgt_pyramid"),
     )
 
 

@@ -146,6 +146,7 @@ def preprocess_pair(
     view_point=(0.0, 0.0, 0.0),
     src_raw_pcd: Optional[np.ndarray] = None,
     metric_index: Optional[np.ndarray] = None,
+    build_pyramid: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Full host pipeline for one pair -> dict of padded arrays.
 
@@ -196,4 +197,11 @@ def preprocess_pair(
     }
     if metric_index is not None:
         out["metric_index"] = metric_index
+    if build_pyramid:
+        from roitr_tpu.data.pyramid import build_cloud_pyramid
+
+        # the backbone's pyramid is built on the raw source geometry
+        # (reference RIGA_v2.py:62 runs the backbone on src_raw_pcd)
+        out["src_pyramid"] = build_cloud_pyramid(raw_pts, s_cnt)
+        out["tgt_pyramid"] = build_cloud_pyramid(t_pts, t_cnt)
     return out

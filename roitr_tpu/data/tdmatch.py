@@ -83,4 +83,5 @@ class TDMatchDataset:
             rotated_index=index if (self.rotated and not self.data_augmentation) else None,
             normal_knn=self.config.normal_knn,
             view_point=self.view_point,
+            build_pyramid=self.config.host_pyramid,
         )

@@ -38,9 +38,12 @@ class Level(NamedTuple):
     down_idx: Optional[jnp.ndarray]  # (M,) index into the parent level
 
 
-def _self_neighborhood(points, normals, count, nsample):
+def _self_neighborhood(points, normals, count, nsample, self_idx=None):
     """Self-kNN (excluding the point itself) + PPFs for one level."""
-    group_idx, _ = masked_knn(points, points, count, nsample, exclude_self=True)
+    if self_idx is not None:
+        group_idx = self_idx
+    else:
+        group_idx, _ = masked_knn(points, points, count, nsample, exclude_self=True)
     neighbor_mask = group_idx < count
     ppf = calc_ppf(points, normals, points[group_idx], normals[group_idx])
     return group_idx, ppf, neighbor_mask
@@ -48,7 +51,9 @@ def _self_neighborhood(points, normals, count, nsample):
 
 class TransitionDown(nn.Module):
     """FPS downsample + cross-kNN PPF attention pooling into the sampled set
-    (reference model.py:47-80)."""
+    (reference model.py:47-80). `fps_idx`/`cross_idx` accept host-precomputed
+    indices (roitr_tpu/data/pyramid.py) — FPS especially is latency-bound on
+    TPU (sequential argmax chain) and much better produced by the loader."""
 
     out_dim: int
     hidden_dim: int
@@ -57,11 +62,11 @@ class TransitionDown(nn.Module):
     nsample: int
 
     @nn.compact
-    def __call__(self, points, normals, feats, count):
+    def __call__(self, points, normals, feats, count, fps_idx=None, cross_idx=None):
         n = points.shape[0]
         if self.stride != 1:
             m = n // self.stride
-            idx = furthest_point_sampling(points, count, m)
+            idx = fps_idx if fps_idx is not None else furthest_point_sampling(points, count, m)
             new_count = jnp.maximum(count // self.stride, 1)
             new_points, new_normals = points[idx], normals[idx]
         else:
@@ -70,8 +75,10 @@ class TransitionDown(nn.Module):
             new_count = count
             new_points, new_normals = points, normals
 
-        query = new_points
-        group_idx, _ = masked_knn(query, points, count, self.nsample, exclude_self=True)
+        if cross_idx is not None:
+            group_idx = cross_idx
+        else:
+            group_idx, _ = masked_knn(new_points, points, count, self.nsample, exclude_self=True)
         neighbor_mask = group_idx < count
         ppf = calc_ppf(new_points, new_normals, points[group_idx], normals[group_idx])
 
@@ -206,13 +213,22 @@ class RIPointTransformer(nn.Module):
             self.planes[0], hid(self.planes[0]), self.num_heads, name="dec1_block"
         )
 
-    def encode(self, points, normals, feats, count) -> Tuple[Level, ...]:
+    def encode(self, points, normals, feats, count, pyramid=None) -> Tuple[Level, ...]:
         levels = []
         p, nrm, x, cnt = points, normals, feats, count
         for lvl in range(4):
             stage = self.enc[lvl]
-            p, nrm, x, cnt, down_idx = stage["down"](p, nrm, x, cnt)
-            group_idx, ppf, nmask = _self_neighborhood(p, nrm, cnt, self.nsample[lvl])
+            fps_idx = cross_idx = self_idx = None
+            if pyramid is not None:
+                fps_idx = getattr(pyramid, f"fps_idx{lvl + 1}", None) if lvl > 0 else None
+                cross_idx = getattr(pyramid, f"cross_idx{lvl + 1}")
+                self_idx = getattr(pyramid, f"self_idx{lvl + 1}")
+            p, nrm, x, cnt, down_idx = stage["down"](
+                p, nrm, x, cnt, fps_idx=fps_idx, cross_idx=cross_idx
+            )
+            group_idx, ppf, nmask = _self_neighborhood(
+                p, nrm, cnt, self.nsample[lvl], self_idx=self_idx
+            )
             for block in stage["blocks"]:
                 x = block(x, group_idx, ppf, nmask)
             levels.append(Level(p, nrm, x, cnt, group_idx, ppf, nmask, down_idx))
@@ -241,40 +257,16 @@ class RIPointTransformer(nn.Module):
         tgt_feats,
         tgt_count,
         src_deformed,  # (N, 3) deformed source (4DMatch; == src_points for rigid)
+        src_pyramid=None,
+        tgt_pyramid=None,
     ):
-        # Both clouds share one bucket, so the encoder and decoder run as a
-        # single vmapped program over a leading (2,) cloud axis: one XLA
-        # kernel sequence instead of two, and every matmul sees twice the
-        # batch (the reference runs the encoder twice, model.py:195-204).
-        if src_points.shape == tgt_points.shape:
-            stacked = tuple(
-                jnp.stack([a, b])
-                for a, b in [
-                    (src_points, tgt_points),
-                    (src_normals, tgt_normals),
-                    (src_feats, tgt_feats),
-                ]
-            ) + (jnp.stack([jnp.asarray(src_count), jnp.asarray(tgt_count)]),)
-            encode_v = nn.vmap(
-                lambda mdl, p, nrm, f, c: mdl.encode(p, nrm, f, c),
-                variable_axes={"params": None},
-                split_rngs={"params": False},
-            )
-            levels_b = encode_v(self, *stacked)
-            decode_v = nn.vmap(
-                lambda mdl, lv: mdl.decode(lv),
-                variable_axes={"params": None},
-                split_rngs={"params": False},
-            )
-            x1_b, _, _, _ = decode_v(self, levels_b)
-            pick = lambda lv, i: Level(*(None if f is None else f[i] for f in lv))
-            s_levels = tuple(pick(lv, 0) for lv in levels_b)
-            t_levels = tuple(pick(lv, 1) for lv in levels_b)
-            s_x1_pre, t_x1_pre = x1_b[0], x1_b[1]
-        else:
-            s_levels = self.encode(src_points, src_normals, src_feats, src_count)
-            t_levels = self.encode(tgt_points, tgt_normals, tgt_feats, tgt_count)
-            s_x1_pre = t_x1_pre = None
+        # The two clouds run sequentially through the shared-weight encoder.
+        # (A vmapped (2,)-cloud variant was tried and measured 4.7x SLOWER at
+        # N=16k on v5e: XLA lowers the batched neighborhood gathers far worse
+        # than two plain gather chains. Sequential also matches the
+        # reference structure, model.py:195-204.)
+        s_levels = self.encode(src_points, src_normals, src_feats, src_count, src_pyramid)
+        t_levels = self.encode(tgt_points, tgt_normals, tgt_feats, tgt_count, tgt_pyramid)
         s4, t4 = s_levels[3], t_levels[3]
 
         s_mask4 = prefix_mask(s4.points.shape[0], s4.count)
@@ -290,11 +282,8 @@ class RIPointTransformer(nn.Module):
             src_masks=t_mask4,
         )
 
-        if s_x1_pre is not None:
-            s_x1, t_x1 = s_x1_pre, t_x1_pre
-        else:
-            s_x1, _, _, _ = self.decode(s_levels)
-            t_x1, _, _, _ = self.decode(t_levels)
+        s_x1, _, _, _ = self.decode(s_levels)
+        t_x1, _, _, _ = self.decode(t_levels)
 
         # chain FPS indices back to raw ordering (reference model.py:233-235)
         idx3_in_1 = s_levels[1].down_idx[s_levels[2].down_idx]

@@ -86,8 +86,16 @@ class GeometricStructureEmbedding(nn.Module):
         # clamp for tiny node sets (padded buckets can leave < angle_k+1
         # nodes; the reference never sees this case)
         k = max(min(self.angle_k, n - 1), 1)
-        _, knn_idx = jax.lax.top_k(-sq, min(k + 1, n))  # self first (dist 0)
+        neg, knn_idx = jax.lax.top_k(-sq, min(k + 1, n))  # self first (dist 0)
         knn_idx = knn_idx[:, 1:] if n > 1 else knn_idx  # (N, k)
+        neg = neg[:, 1:] if n > 1 else neg
+        # when fewer valid nodes than k+1 exist, top_k returns padding nodes
+        # (dist +inf); replace them with self so the embedding never reads
+        # garbage coordinates (angle becomes atan2(0,0)=0, deterministic)
+        invalid = -neg >= _INF
+        knn_idx = jnp.where(
+            invalid, jnp.arange(n, dtype=knn_idx.dtype)[:, None], knn_idx
+        )
         knn_points = points[knn_idx]  # (N, k, 3)
         ref_vec = knn_points - points[:, None, :]  # (N, k, 3)
         anc_vec = points[None, :, :] - points[:, None, :]  # (N, N, 3)

@@ -52,6 +52,10 @@ class PairInputs(NamedTuple):
     tgt_count: jnp.ndarray  # () int32
     rot: jnp.ndarray  # (3, 3) GT rotation src->tgt
     trans: jnp.ndarray  # (3, 1) GT translation
+    # optional host-precomputed geometric pyramids (CloudPyramid pytrees;
+    # None -> the backbone computes FPS/kNN on device)
+    src_pyramid: Any = None
+    tgt_pyramid: Any = None
 
 
 def _l2norm(x, axis=-1):
@@ -114,6 +118,8 @@ class RoITr(nn.Module):
             pair.tgt_feats,
             pair.tgt_count,
             pair.src_points,
+            src_pyramid=pair.src_pyramid,
+            tgt_pyramid=pair.tgt_pyramid,
         )
 
         src_node_feats = _l2norm(self.coarse_proj(src_node_feats))

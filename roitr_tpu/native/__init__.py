@@ -36,7 +36,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    # always let make decide (timestamp check is cheap, catches stale .so
+    # after source edits)
+    if not _build() and not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -47,6 +49,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.roitr_estimate_normals.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32,
                                            f32p, f32p]
     lib.roitr_estimate_normals.restype = None
+    lib.roitr_fps.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.roitr_fps.restype = None
     _lib = lib
     return lib
 
@@ -66,6 +70,16 @@ def knn(points: np.ndarray, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np
     dist = np.empty((m, k), np.float32)
     lib.roitr_knn(points, points.shape[0], queries, m, k, idx, dist)
     return idx, dist
+
+
+def fps(points: np.ndarray, num_samples: int) -> np.ndarray:
+    """Exact farthest point sampling (seed index 0), (m,) int32."""
+    lib = get_lib()
+    assert lib is not None, "native library unavailable"
+    points = np.ascontiguousarray(points, np.float32)
+    out = np.empty((num_samples,), np.int32)
+    lib.roitr_fps(points, points.shape[0], num_samples, out)
+    return out
 
 
 def estimate_normals(points: np.ndarray, k: int = 33, view_point=(0.0, 0.0, 0.0)) -> np.ndarray:

@@ -261,4 +261,55 @@ void roitr_estimate_normals(const float* pts, int32_t n, int32_t k,
   }
 }
 
+// Exact farthest point sampling (reference semantics: seed = index 0,
+// sampling_cuda_kernel.cu:39): out_idx gets m indices into pts.
+void roitr_fps(const float* pts, int32_t n, int32_t m, int32_t* out_idx) {
+  if (m <= 0) return;
+  // struct-of-arrays copy so the min-update pass auto-vectorizes
+  std::vector<float> xs(n), ys(n), zs(n), dist(n, 1e30f);
+  for (int i = 0; i < n; ++i) {
+    xs[i] = pts[3 * i];
+    ys[i] = pts[3 * i + 1];
+    zs[i] = pts[3 * i + 2];
+  }
+  constexpr int kBlock = 512;
+  const int nb = (n + kBlock - 1) / kBlock;
+  std::vector<float> block_max(nb);
+
+  int32_t last = 0;
+  out_idx[0] = 0;
+  for (int s = 1; s < m; ++s) {
+    const float lx = xs[last], ly = ys[last], lz = zs[last];
+    float* __restrict__ d = dist.data();
+    const float* __restrict__ x = xs.data();
+    const float* __restrict__ y = ys.data();
+    const float* __restrict__ z = zs.data();
+    // single pass: branch-free min update + per-block max (both vectorize)
+    for (int b = 0; b < nb; ++b) {
+      int lo = b * kBlock, hi = std::min(n, lo + kBlock);
+      float bm = -1.f;
+      for (int i = lo; i < hi; ++i) {
+        float dx = x[i] - lx, dy = y[i] - ly, dz = z[i] - lz;
+        float d2 = dx * dx + dy * dy + dz * dz;
+        float nd = d2 < d[i] ? d2 : d[i];
+        d[i] = nd;
+        bm = nd > bm ? nd : bm;
+      }
+      block_max[b] = bm;
+    }
+    int best_b = 0;
+    for (int b = 1; b < nb; ++b)
+      if (block_max[b] > block_max[best_b]) best_b = b;
+    float best = block_max[best_b];
+    int32_t best_i = best_b * kBlock;
+    for (int i = best_b * kBlock; i < std::min(n, (best_b + 1) * kBlock); ++i)
+      if (d[i] == best) {
+        best_i = i;
+        break;
+      }
+    out_idx[s] = best_i;
+    last = best_i;
+  }
+}
+
 }  // extern "C"

@@ -22,8 +22,12 @@ import jax.numpy as jnp
 from roitr_tpu.ops.geometry import prefix_mask
 
 
-def furthest_point_sampling(points: jnp.ndarray, count, num_samples: int):
-    """points: (N, 3) with `count` valid prefix rows -> idx (num_samples,) int32."""
+def furthest_point_sampling(points: jnp.ndarray, count, num_samples: int, unroll: int = 8):
+    """points: (N, 3) with `count` valid prefix rows -> idx (num_samples,) int32.
+
+    The loop is unrolled `unroll` steps per XLA while-iteration — FPS is
+    latency-bound by loop overhead on TPU, not by the O(N) vector work.
+    """
     points = jnp.asarray(points)  # fori_loop traces: numpy inputs must be lifted
     n = points.shape[0]
     valid = prefix_mask(n, count)
@@ -41,7 +45,9 @@ def furthest_point_sampling(points: jnp.ndarray, count, num_samples: int):
         nxt = jnp.argmax(dists).astype(jnp.int32)
         return idx_out.at[i].set(nxt), dists, nxt
 
-    idx_out, _, _ = jax.lax.fori_loop(1, num_samples, body, (idx_out, init_dist, idx0))
+    idx_out, _, _ = jax.lax.fori_loop(
+        1, num_samples, body, (idx_out, init_dist, idx0), unroll=unroll
+    )
     return idx_out
 
 

@@ -30,7 +30,7 @@ def masked_knn(
     key_count,
     k: int,
     exclude_self: bool = False,
-    query_tile: int = 1024,
+    query_tile: int = 2048,
 ):
     """k nearest valid keys for each query.
 
