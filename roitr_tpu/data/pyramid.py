@@ -35,6 +35,14 @@ class CloudPyramid(NamedTuple):
     self_idx2: np.ndarray  # (B/4, k2)
     self_idx3: np.ndarray
     self_idx4: np.ndarray
+    # decoder 3-NN upsampling (queries = level l-1, keys = level l):
+    # idx (M_{l-1}, 3) + inverse-distance weights (M_{l-1}, 3)
+    up_idx2: np.ndarray  # level 2 -> level 1
+    up_w2: np.ndarray
+    up_idx3: np.ndarray  # level 3 -> level 2
+    up_w3: np.ndarray
+    up_idx4: np.ndarray  # level 4 -> level 3
+    up_w4: np.ndarray
 
 
 def _knn_host(keys: np.ndarray, queries: np.ndarray, k: int, key_bucket: int) -> np.ndarray:
@@ -101,7 +109,7 @@ def build_cloud_pyramid(
     cur = np.ascontiguousarray(points[:count], np.float32)
     cur_bucket = bucket
 
-    fps_list, cross_list, self_list = [], [], []
+    fps_list, cross_list, self_list, up_list = [], [], [], []
     for lvl, (stride, k) in enumerate(zip(strides, nsample)):
         new_bucket = cur_bucket // stride
         if stride != 1:
@@ -111,6 +119,34 @@ def build_cloud_pyramid(
             fps_idx = np.zeros(new_bucket, np.int32)
             fps_idx[:m] = idx_valid
             fps_list.append(fps_idx)
+
+            # decoder 3-NN interpolation: queries = this level's parents (cur),
+            # keys = the sampled set (new); matches three_nn_interpolate
+            kk = min(3, len(new))
+            try:
+                from roitr_tpu import native
+
+                if native.available():
+                    up_i, up_d = native.knn(new, cur, kk)
+                    up_i = np.where(up_i < 0, 0, up_i)
+                else:
+                    raise RuntimeError
+            except Exception:
+                from scipy.spatial import cKDTree
+
+                up_d, up_i = cKDTree(new).query(cur, k=kk)
+                if kk == 1:
+                    up_d, up_i = up_d[:, None], up_i[:, None]
+            if kk < 3:
+                up_i = np.pad(up_i, ((0, 0), (0, 3 - kk)), mode="edge")
+                up_d = np.pad(up_d, ((0, 0), (0, 3 - kk)), constant_values=1e10)
+            recip = 1.0 / np.clip(up_d, 1e-8, None)
+            w = (recip / recip.sum(-1, keepdims=True)).astype(np.float32)
+            up_idx = np.zeros((cur_bucket, 3), np.int32)
+            up_w = np.zeros((cur_bucket, 3), np.float32)
+            up_idx[: len(cur)] = up_i
+            up_w[: len(cur)] = w
+            up_list.append((up_idx, up_w))
         else:
             new = cur
 
@@ -139,4 +175,10 @@ def build_cloud_pyramid(
         self_idx2=self_list[1],
         self_idx3=self_list[2],
         self_idx4=self_list[3],
+        up_idx2=up_list[0][0],
+        up_w2=up_list[0][1],
+        up_idx3=up_list[1][0],
+        up_w3=up_list[1][1],
+        up_idx4=up_list[2][0],
+        up_w4=up_list[2][1],
     )

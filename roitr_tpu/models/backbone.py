@@ -139,12 +139,14 @@ class TransitionUp(nn.Module):
     out_dim: int
 
     @nn.compact
-    def __call__(self, points, feats, coarse_points, coarse_feats, coarse_count):
+    def __call__(self, points, feats, coarse_points, coarse_feats, coarse_count,
+                 up_idx=None, up_w=None):
         x1 = nn.Dense(self.out_dim, name="linear1")(feats)
         x1 = nn.relu(nn.LayerNorm(epsilon=1e-5, name="norm1")(x1))
         x2 = nn.Dense(self.out_dim, name="linear2")(coarse_feats)
         x2 = nn.relu(nn.LayerNorm(epsilon=1e-5, name="norm2")(x2))
-        up = three_nn_interpolate(points, coarse_points, x2, coarse_count)
+        up = three_nn_interpolate(points, coarse_points, x2, coarse_count,
+                                  idx=up_idx, weight=up_w)
         return x1 + up
 
 
@@ -234,15 +236,18 @@ class RIPointTransformer(nn.Module):
             levels.append(Level(p, nrm, x, cnt, group_idx, ppf, nmask, down_idx))
         return tuple(levels)
 
-    def decode(self, levels: Tuple[Level, ...]) -> Tuple[jnp.ndarray, ...]:
+    def decode(self, levels: Tuple[Level, ...], pyramid=None) -> Tuple[jnp.ndarray, ...]:
         l1, l2, l3, l4 = levels
+        up = lambda n: (None, None) if pyramid is None else (
+            getattr(pyramid, f"up_idx{n}"), getattr(pyramid, f"up_w{n}")
+        )
         x4 = self.dec4_up(l4.feats, l4.count)
         x4 = self.dec4_block(x4, l4.group_idx, l4.ppf, l4.neighbor_mask)
-        x3 = self.dec3_up(l3.points, l3.feats, l4.points, x4, l4.count)
+        x3 = self.dec3_up(l3.points, l3.feats, l4.points, x4, l4.count, *up(4))
         x3 = self.dec3_block(x3, l3.group_idx, l3.ppf, l3.neighbor_mask)
-        x2 = self.dec2_up(l2.points, l2.feats, l3.points, x3, l3.count)
+        x2 = self.dec2_up(l2.points, l2.feats, l3.points, x3, l3.count, *up(3))
         x2 = self.dec2_block(x2, l2.group_idx, l2.ppf, l2.neighbor_mask)
-        x1 = self.dec1_up(l1.points, l1.feats, l2.points, x2, l2.count)
+        x1 = self.dec1_up(l1.points, l1.feats, l2.points, x2, l2.count, *up(2))
         x1 = self.dec1_block(x1, l1.group_idx, l1.ppf, l1.neighbor_mask)
         return x1, x2, x3, x4
 
@@ -282,8 +287,8 @@ class RIPointTransformer(nn.Module):
             src_masks=t_mask4,
         )
 
-        s_x1, _, _, _ = self.decode(s_levels)
-        t_x1, _, _, _ = self.decode(t_levels)
+        s_x1, _, _, _ = self.decode(s_levels, src_pyramid)
+        t_x1, _, _, _ = self.decode(t_levels, tgt_pyramid)
 
         # chain FPS indices back to raw ordering (reference model.py:233-235)
         idx3_in_1 = s_levels[1].down_idx[s_levels[2].down_idx]

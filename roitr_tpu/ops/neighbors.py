@@ -87,6 +87,8 @@ def three_nn_interpolate(
     child_feats: jnp.ndarray,
     child_count,
     k: int = 3,
+    idx: jnp.ndarray | None = None,
+    weight: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Inverse-distance weighted k-NN feature upsampling child -> parent.
 
@@ -94,10 +96,12 @@ def three_nn_interpolate(
     valid), child_feats: (M, C). Returns (N, C).
     Matches reference pointops.interpolation (functions/pointops.py:168-182):
     weights = (1/d) / sum(1/d) over the 3 nearest child points.
+    `idx`/`weight` accept host-precomputed values (data/pyramid.py).
     """
-    idx, dist = masked_knn(parent_xyz, child_xyz, child_count, k)
-    recip = 1.0 / jnp.clip(dist, min=1e-8)
-    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)  # (N, k)
+    if idx is None or weight is None:
+        idx, dist = masked_knn(parent_xyz, child_xyz, child_count, k)
+        recip = 1.0 / jnp.clip(dist, min=1e-8)
+        weight = recip / jnp.sum(recip, axis=-1, keepdims=True)  # (N, k)
     feats = knn_gather(child_feats, idx)  # (N, k, C)
     return jnp.sum(feats * weight[..., None], axis=1)
 
