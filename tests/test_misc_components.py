@@ -1,0 +1,86 @@
+"""Tests for capability-parity components: PPFTransformer variant, layer
+factory, legacy ops, profiling helpers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from roitr_tpu.models.ppf_transformer import PPFTransformer
+from roitr_tpu.ops.legacy import interpolate, sinkhorn, soft_assignment
+from roitr_tpu.utils.factory import build_act_layer, build_dropout_layer
+
+
+def test_ppf_transformer_runs(rng):
+    n, m, c, d = 12, 10, 32, 16
+    ref_feats = rng.randn(n, c).astype(np.float32)
+    src_feats = rng.randn(m, c).astype(np.float32)
+    ref_ppfs = rng.rand(n, n, 4).astype(np.float32)
+    src_ppfs = rng.rand(m, m, 4).astype(np.float32)
+
+    mod = PPFTransformer(c, c, d, 4, ("self", "cross", "self", "cross"),
+                         with_cross_pos_embed=True)
+    params = mod.init(jax.random.PRNGKey(0), jnp.array(ref_feats), jnp.array(src_feats),
+                      jnp.array(ref_ppfs), jnp.array(src_ppfs))["params"]
+    out_r, out_s = mod.apply({"params": params}, jnp.array(ref_feats), jnp.array(src_feats),
+                             jnp.array(ref_ppfs), jnp.array(src_ppfs))
+    assert out_r.shape == (n, c) and out_s.shape == (m, c)
+    assert np.isfinite(np.asarray(out_r)).all()
+
+    # masks: fully masked trailing nodes must not produce NaN
+    rm = np.arange(n) < n - 2
+    sm = np.arange(m) < m - 1
+    out_r2, _ = mod.apply({"params": params}, jnp.array(ref_feats), jnp.array(src_feats),
+                          jnp.array(ref_ppfs), jnp.array(src_ppfs),
+                          jnp.array(rm), jnp.array(sm))
+    assert np.isfinite(np.asarray(out_r2)).all()
+
+
+def test_legacy_sinkhorn_matches_torch(rng):
+    """Slack-variant sinkhorn vs a torch reimplementation of the reference
+    formulas (lib/utils.py:237-263)."""
+    b, j, k = 2, 5, 7
+    log_alpha = rng.randn(b, j, k).astype(np.float32)
+    got = np.asarray(sinkhorn(jnp.array(log_alpha), n_iters=4, slack=True))
+
+    la = torch.tensor(log_alpha)
+    pad = torch.nn.ZeroPad2d((0, 1, 0, 1))
+    p = pad(la[:, None, :, :]).squeeze(1)
+    for _ in range(4):
+        p = torch.cat(
+            [p[:, :-1, :] - torch.logsumexp(p[:, :-1, :], dim=2, keepdim=True),
+             p[:, -1:, :]], dim=1)
+        p = torch.cat(
+            [p[:, :, :-1] - torch.logsumexp(p[:, :, :-1], dim=1, keepdim=True),
+             p[:, :, -1:]], dim=2)
+    expect = p[:, :-1, :-1].numpy()
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_soft_assignment(rng):
+    b, n, m = 1, 8, 9
+    src = rng.rand(b, n, 3).astype(np.float32)
+    tgt = rng.rand(b, m, 3).astype(np.float32)
+    sf = rng.randn(b, n, 4).astype(np.float32)
+    tf = rng.randn(b, m, 4).astype(np.float32)
+    c1, x1, c2, x2 = soft_assignment(jnp.array(src), jnp.array(sf), jnp.array(tgt), jnp.array(tf))
+    np.testing.assert_allclose(np.asarray(c1).sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(c2).sum(-1), 1.0, rtol=1e-5)
+    assert x1.shape == (b, n, 3) and x2.shape == (b, m, 3)
+    # blended coords stay inside the convex hull bounds
+    assert float(jnp.max(x1)) <= float(jnp.max(tgt)) + 1e-5
+
+
+def test_factory():
+    assert build_act_layer("ReLU")(jnp.array([-1.0, 2.0]))[0] == 0.0
+    ident = build_dropout_layer(None)
+    np.testing.assert_array_equal(np.asarray(ident(jnp.ones(3))), np.ones(3))
+
+
+def test_profiling_helpers(tmp_path):
+    from roitr_tpu.utils.profiling import log_elapsed
+
+    msgs = []
+    with log_elapsed("x", printer=msgs.append):
+        pass
+    assert msgs and "x:" in msgs[0]
