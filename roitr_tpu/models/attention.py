@@ -16,7 +16,7 @@ TPU-motivated departures (both mathematically identical to the reference):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -50,13 +50,14 @@ class AttentionOutput(nn.Module):
     (reference attention.py:203-218)."""
 
     d_model: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(self.d_model * 2, name="expand")(x)
+        h = nn.Dense(self.d_model * 2, dtype=self.dtype, name="expand")(x)
         h = nn.relu(h)
-        h = nn.Dense(self.d_model, name="squeeze")(h)
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="squeeze")(h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x + h)
 
 
 class LocalPPFAttention(nn.Module):
@@ -71,6 +72,7 @@ class LocalPPFAttention(nn.Module):
 
     d_model: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -86,13 +88,13 @@ class LocalPPFAttention(nn.Module):
         # project on the dense (N, d) side, then gather (reference order —
         # keeps the matmul at N x d x d instead of M*K x d x d).
         # node_idx None means centers == all points (identity gather).
-        q = nn.Dense(self.d_model, name="proj_q")(feats)
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(feats)
         if node_idx is not None:
             q = q[node_idx]  # (M, d)
-        k = nn.Dense(self.d_model, name="proj_k")(feats)[group_idx]  # (M, K, d)
-        v = nn.Dense(self.d_model, name="proj_v")(feats)[group_idx]
-        p = nn.Dense(self.d_model, name="proj_p")(pos_embed)  # (M, K, d)
-        vp = nn.Dense(self.d_model, name="proj_vp")(pos_embed)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(feats)[group_idx]  # (M, K, d)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(feats)[group_idx]
+        p = nn.Dense(self.d_model, dtype=self.dtype, name="proj_p")(pos_embed)  # (M, K, d)
+        vp = nn.Dense(self.d_model, dtype=self.dtype, name="proj_vp")(pos_embed)
 
         qh = _split_heads(q, h)  # (M, H, c)
         kh = _split_heads(k, h)  # (M, K, H, c)
@@ -109,9 +111,9 @@ class LocalPPFAttention(nn.Module):
         hidden = jnp.einsum("mhk,mkhc->mhc", attn, vh + vph)
         hidden = _merge_heads(hidden)  # (M, d)
 
-        hidden = nn.Dense(self.d_model, name="linear")(hidden)
+        hidden = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(hidden)
         residual = feats if node_idx is None else feats[node_idx]
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(hidden + residual)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(hidden + residual)
 
 
 class LocalPPFTransformer(nn.Module):
@@ -122,15 +124,16 @@ class LocalPPFTransformer(nn.Module):
     hidden_dim: int
     output_dim: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, node_idx, group_idx, ppf, neighbor_mask=None):
-        pos = nn.Dense(self.hidden_dim, name="embedding_proj")(ppf)  # local PPFEmbedding
-        x = nn.Dense(self.hidden_dim, name="in_proj")(feats)
-        x = LocalPPFAttention(self.hidden_dim, self.num_heads, name="attention")(
+        pos = nn.Dense(self.hidden_dim, dtype=self.dtype, name="embedding_proj")(ppf)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="in_proj")(feats)
+        x = LocalPPFAttention(self.hidden_dim, self.num_heads, self.dtype, name="attention")(
             x, pos, node_idx, group_idx, neighbor_mask
         )
-        return nn.Dense(self.output_dim, name="out_proj")(x)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="out_proj")(x)
 
 
 class GlobalRPESelfAttention(nn.Module):
@@ -146,6 +149,7 @@ class GlobalRPESelfAttention(nn.Module):
 
     d_model: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -157,9 +161,9 @@ class GlobalRPESelfAttention(nn.Module):
         h, c = self.num_heads, self.d_model // self.num_heads
         n = x.shape[0]
 
-        q = _split_heads(nn.Dense(self.d_model, name="proj_q")(x), h)  # (N, H, c)
-        k = _split_heads(nn.Dense(self.d_model, name="proj_k")(x), h)
-        v = _split_heads(nn.Dense(self.d_model, name="proj_v")(x), h)
+        q = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(x), h)
+        k = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(x), h)
+        v = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(x), h)
 
         # factored q . proj_p(e): contract q into the projection kernel
         wp = self.param("proj_p_kernel", nn.initializers.lecun_normal(), (self.d_model, self.d_model))
@@ -201,20 +205,21 @@ class RPESelfLayer(nn.Module):
 
     d_model: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, embed, key_mask=None):
-        hidden, pos = GlobalRPESelfAttention(self.d_model, self.num_heads, name="attention")(
-            x, embed, key_mask
-        )
-        hidden = nn.Dense(self.d_model, name="linear")(hidden)
-        out = nn.LayerNorm(epsilon=1e-5, name="norm")(hidden + x)
+        hidden, pos = GlobalRPESelfAttention(
+            self.d_model, self.num_heads, self.dtype, name="attention"
+        )(x, embed, key_mask)
+        hidden = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(hidden)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(hidden + x)
 
-        pos = nn.Dense(self.d_model, name="pos_linear")(pos)
-        pos = nn.LayerNorm(epsilon=1e-5, name="pos_norm")(pos)
+        pos = nn.Dense(self.d_model, dtype=self.dtype, name="pos_linear")(pos)
+        pos = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pos_norm")(pos)
 
-        out = AttentionOutput(self.d_model, name="output")(out)
-        pos = AttentionOutput(self.d_model, name="pos_proj")(pos)
+        out = AttentionOutput(self.d_model, self.dtype, name="output")(out)
+        pos = AttentionOutput(self.d_model, self.dtype, name="pos_proj")(pos)
         return out, pos
 
 
@@ -226,6 +231,7 @@ class CrossAttentionLayer(nn.Module):
 
     d_model: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -240,14 +246,14 @@ class CrossAttentionLayer(nn.Module):
         in_q = x if pos_q is None else x + pos_q
         in_k = mem if pos_k is None else mem + pos_k
 
-        q = _split_heads(nn.Dense(self.d_model, name="proj_q")(in_q), h)
-        k = _split_heads(nn.Dense(self.d_model, name="proj_k")(in_k), h)
-        v = _split_heads(nn.Dense(self.d_model, name="proj_v")(mem), h)
+        q = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(in_q), h)
+        k = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(in_k), h)
+        v = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(mem), h)
 
         scores = jnp.einsum("nhc,mhc->hnm", q, k) / jnp.sqrt(jnp.asarray(c, x.dtype))
         attn = masked_softmax(scores, None if key_mask is None else key_mask[None, None, :])
         hidden = _merge_heads(jnp.einsum("hnm,mhc->nhc", attn, v))
 
-        hidden = nn.Dense(self.d_model, name="linear")(hidden)
-        out = nn.LayerNorm(epsilon=1e-5, name="norm")(hidden + x)
-        return AttentionOutput(self.d_model, name="output")(out)
+        hidden = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(hidden)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(hidden + x)
+        return AttentionOutput(self.d_model, self.dtype, name="output")(out)

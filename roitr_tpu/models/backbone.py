@@ -13,7 +13,7 @@ block lists, model.py:28-44, 223-231).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -60,6 +60,7 @@ class TransitionDown(nn.Module):
     num_heads: int
     stride: int
     nsample: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, points, normals, feats, count, fps_idx=None, cross_idx=None):
@@ -87,6 +88,7 @@ class TransitionDown(nn.Module):
             hidden_dim=self.hidden_dim,
             output_dim=self.out_dim,
             num_heads=self.num_heads,
+            dtype=self.dtype,
             name="transformer",
         )(feats, idx, group_idx, ppf, neighbor_mask)
         return new_points, new_normals, x, new_count, idx
@@ -99,6 +101,7 @@ class PointBlock(nn.Module):
     dim: int
     hidden_dim: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, group_idx, ppf, neighbor_mask):
@@ -108,9 +111,10 @@ class PointBlock(nn.Module):
             hidden_dim=self.hidden_dim,
             output_dim=self.dim,
             num_heads=self.num_heads,
+            dtype=self.dtype,
             name="transformer",
         )(feats, None, group_idx, ppf, neighbor_mask)
-        x = nn.LayerNorm(epsilon=1e-5, name="bn2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="bn2")(x)
         return nn.relu(x + identity)
 
 
@@ -119,16 +123,20 @@ class TransitionUpHead(nn.Module):
     feature (reference model.py:99-112, is_head branch)."""
 
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, count):
         mask = prefix_mask(feats.shape[0], count)[:, None]
-        denom = jnp.maximum(count, 1).astype(feats.dtype)
-        pooled = jnp.sum(jnp.where(mask, feats, 0.0), axis=0, keepdims=True) / denom
-        g = nn.relu(nn.Dense(self.dim, name="linear2")(pooled))
+        denom = jnp.maximum(count, 1).astype(jnp.float32)
+        pooled = (
+            jnp.sum(jnp.where(mask, feats, 0.0).astype(jnp.float32), axis=0, keepdims=True)
+            / denom
+        ).astype(feats.dtype)
+        g = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="linear2")(pooled))
         x = jnp.concatenate([feats, jnp.broadcast_to(g, feats.shape)], axis=-1)
-        x = nn.Dense(self.dim, name="linear1")(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         return nn.relu(x)
 
 
@@ -137,14 +145,15 @@ class TransitionUp(nn.Module):
     interpolation of the coarser level (reference model.py:113-117)."""
 
     out_dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, points, feats, coarse_points, coarse_feats, coarse_count,
                  up_idx=None, up_w=None):
-        x1 = nn.Dense(self.out_dim, name="linear1")(feats)
-        x1 = nn.relu(nn.LayerNorm(epsilon=1e-5, name="norm1")(x1))
-        x2 = nn.Dense(self.out_dim, name="linear2")(coarse_feats)
-        x2 = nn.relu(nn.LayerNorm(epsilon=1e-5, name="norm2")(x2))
+        x1 = nn.Dense(self.out_dim, dtype=self.dtype, name="linear1")(feats)
+        x1 = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x1))
+        x2 = nn.Dense(self.out_dim, dtype=self.dtype, name="linear2")(coarse_feats)
+        x2 = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x2))
         up = three_nn_interpolate(points, coarse_points, x2, coarse_count,
                                   idx=up_idx, weight=up_w)
         return x1 + up
@@ -159,6 +168,7 @@ class RIPointTransformer(nn.Module):
     enc_blocks: Sequence[int] = (2, 3, 3, 3)
     strides: Sequence[int] = (1, 4, 4, 4)
     nsample: Sequence[int] = (8, 16, 16, 16)
+    dtype: Any = jnp.float32
 
     def setup(self):
         f = self.factor
@@ -175,10 +185,12 @@ class RIPointTransformer(nn.Module):
                     num_heads=self.num_heads,
                     stride=self.strides[lvl],
                     nsample=self.nsample[lvl],
+                    dtype=self.dtype,
                     name=f"enc{lvl + 1}_down",
                 ),
                 "blocks": [
-                    PointBlock(p, hid(p), self.num_heads, name=f"enc{lvl + 1}_block{b}")
+                    PointBlock(p, hid(p), self.num_heads, self.dtype,
+                               name=f"enc{lvl + 1}_block{b}")
                     for b in range(1, self.enc_blocks[lvl])
                 ],
             }
@@ -195,24 +207,29 @@ class RIPointTransformer(nn.Module):
             sigma_d=0.2,
             sigma_a=15.0,
             angle_k=3,
+            dtype=self.dtype,
             name="global_transformer",
         )
 
-        self.dec4_up = TransitionUpHead(self.planes[3], name="dec4_up")
+        self.dec4_up = TransitionUpHead(self.planes[3], self.dtype, name="dec4_up")
         self.dec4_block = PointBlock(
-            self.planes[3], hid(self.planes[3]), self.num_heads, name="dec4_block"
+            self.planes[3], hid(self.planes[3]), self.num_heads, self.dtype,
+            name="dec4_block"
         )
-        self.dec3_up = TransitionUp(self.planes[2], name="dec3_up")
+        self.dec3_up = TransitionUp(self.planes[2], self.dtype, name="dec3_up")
         self.dec3_block = PointBlock(
-            self.planes[2], hid(self.planes[2]), self.num_heads, name="dec3_block"
+            self.planes[2], hid(self.planes[2]), self.num_heads, self.dtype,
+            name="dec3_block"
         )
-        self.dec2_up = TransitionUp(self.planes[1], name="dec2_up")
+        self.dec2_up = TransitionUp(self.planes[1], self.dtype, name="dec2_up")
         self.dec2_block = PointBlock(
-            self.planes[1], hid(self.planes[1]), self.num_heads, name="dec2_block"
+            self.planes[1], hid(self.planes[1]), self.num_heads, self.dtype,
+            name="dec2_block"
         )
-        self.dec1_up = TransitionUp(self.planes[0], name="dec1_up")
+        self.dec1_up = TransitionUp(self.planes[0], self.dtype, name="dec1_up")
         self.dec1_block = PointBlock(
-            self.planes[0], hid(self.planes[0]), self.num_heads, name="dec1_block"
+            self.planes[0], hid(self.planes[0]), self.num_heads, self.dtype,
+            name="dec1_block"
         )
 
     def encode(self, points, normals, feats, count, pyramid=None) -> Tuple[Level, ...]:

@@ -71,6 +71,7 @@ class RoITr(nn.Module):
     def setup(self):
         cfg = self.cfg
         f = cfg.channel_factor
+        compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.backbone = RIPointTransformer(
             transformer_blocks=tuple(cfg.transformer_architecture),
             factor=f,
@@ -78,6 +79,7 @@ class RoITr(nn.Module):
             enc_blocks=tuple(cfg.enc_blocks),
             strides=tuple(cfg.enc_strides),
             nsample=tuple(cfg.enc_nsample),
+            dtype=compute_dtype,
             name="backbone",
         )
         self.coarse_proj = nn.Dense(256 * f, name="coarse_proj")
@@ -122,10 +124,11 @@ class RoITr(nn.Module):
             tgt_pyramid=pair.tgt_pyramid,
         )
 
-        src_node_feats = _l2norm(self.coarse_proj(src_node_feats))
-        tgt_node_feats = _l2norm(self.coarse_proj(tgt_node_feats))
-        src_point_feats = self.fine_proj(src_point_feats)
-        tgt_point_feats = self.fine_proj(tgt_point_feats)
+        # descriptor heads always run fp32 (matching/OT numerics)
+        src_node_feats = _l2norm(self.coarse_proj(src_node_feats.astype(jnp.float32)))
+        tgt_node_feats = _l2norm(self.coarse_proj(tgt_node_feats.astype(jnp.float32)))
+        src_point_feats = self.fine_proj(src_point_feats.astype(jnp.float32))
+        tgt_point_feats = self.fine_proj(tgt_point_feats.astype(jnp.float32))
 
         out["src_points"] = src_points
         out["tgt_points"] = tgt_points

@@ -8,7 +8,7 @@ One layer instance serves both clouds (shared weights), as in the reference.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -29,6 +29,7 @@ class GeometricTransformer(nn.Module):
     sigma_d: float = 0.2
     sigma_a: float = 15.0
     angle_k: int = 3
+    dtype: Any = None  # None -> float32
 
     @nn.compact
     def __call__(
@@ -48,17 +49,20 @@ class GeometricTransformer(nn.Module):
         ref_embed = embedding(ref_points, ref_count)
         src_embed = embedding(src_points, src_count)
 
-        in_proj = nn.Dense(self.hidden_dim, name="in_proj")
+        import jax.numpy as _jnp
+
+        dtype = self.dtype or _jnp.float32
+        in_proj = nn.Dense(self.hidden_dim, dtype=dtype, name="in_proj")
         feats0, feats1 = in_proj(ref_feats), in_proj(src_feats)
 
         pos0 = pos1 = None
         for i, block in enumerate(self.blocks):
             if block == "self":
-                layer = RPESelfLayer(self.hidden_dim, self.num_heads, name=f"layers_{i}")
+                layer = RPESelfLayer(self.hidden_dim, self.num_heads, dtype, name=f"layers_{i}")
                 feats0, pos0 = layer(feats0, ref_embed, ref_masks)
                 feats1, pos1 = layer(feats1, src_embed, src_masks)
             elif block == "cross":
-                layer = CrossAttentionLayer(self.hidden_dim, self.num_heads, name=f"layers_{i}")
+                layer = CrossAttentionLayer(self.hidden_dim, self.num_heads, dtype, name=f"layers_{i}")
                 # sequential, not parallel: the second call attends to the
                 # already-updated feats0 (reference geotransformer.py:45-46)
                 feats0 = layer(feats0, feats1, pos0, pos1, src_masks)
@@ -66,5 +70,7 @@ class GeometricTransformer(nn.Module):
             else:
                 raise ValueError(f"unknown block type {block!r}")
 
-        out_proj = nn.Dense(self.output_dim, name="out_proj")
-        return out_proj(feats0), out_proj(feats1)
+        out_proj = nn.Dense(self.output_dim, dtype=dtype, name="out_proj")
+        # descriptors leave in fp32 regardless of compute dtype
+        return (out_proj(feats0).astype(_jnp.float32),
+                out_proj(feats1).astype(_jnp.float32))
