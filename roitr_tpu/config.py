@@ -83,6 +83,9 @@ class Config:
     fine_matching_use_global_score: bool = False
     fine_matching_correspondence_threshold: int = 3
     sinkhorn_iters: int = 100
+    # "xla" (default: scan, differentiable, slightly faster at default
+    # shapes) or "pallas" (fused VMEM kernel, inference only)
+    sinkhorn_backend: str = "xla"
 
     # ---- coarse loss ----
     coarse_loss_positive_margin: float = 0.1

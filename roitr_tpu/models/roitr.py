@@ -268,7 +268,15 @@ class RoITr(nn.Module):
         out["src_node_corr_knn_masks"] = src_knn_masks
         out["tgt_node_corr_knn_masks"] = tgt_knn_masks
 
-        # ---- 5. optimal transport (reference :150-153)
+        # ---- 5. optimal transport (reference :150-153). The fused Pallas
+        # kernel is opt-in (cfg.sinkhorn_backend="pallas", inference only —
+        # no VJP): measured on v5e the XLA scan already keeps the (P,65,65)
+        # tensor on-chip and wins slightly (3.1 vs 4.1 ms / 100 iters).
+        use_pallas = (
+            (not train)
+            and cfg.sinkhorn_backend == "pallas"
+            and jax.default_backend() == "tpu"
+        )
         c = src_point_feats.shape[-1]
         matching_scores = jnp.einsum("pnc,pmc->pnm", tgt_knn_feats, src_knn_feats) / c**0.5
         matching_scores = log_sinkhorn_ot(
@@ -277,6 +285,7 @@ class RoITr(nn.Module):
             src_knn_masks,
             self.ot_alpha,
             num_iter=cfg.sinkhorn_iters,
+            backend="pallas" if use_pallas else "xla",
         )
         out["matching_scores"] = matching_scores  # (P, K+1, K+1); row: tgt, col: src
 

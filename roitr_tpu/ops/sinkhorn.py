@@ -20,6 +20,7 @@ def log_sinkhorn_ot(
     col_masks: jnp.ndarray,
     alpha: jnp.ndarray,
     num_iter: int = 100,
+    backend: str = "xla",
 ) -> jnp.ndarray:
     """scores (B, M, N), row_masks (B, M), col_masks (B, N), alpha scalar
     (learnable dustbin score) -> log assignment matrix (B, M+1, N+1).
@@ -61,6 +62,13 @@ def log_sinkhorn_ot(
         [jnp.broadcast_to(norm[:, None], (b, n)), (jnp.log(nrow) + norm)[:, None]], axis=1
     )
     log_nu = jnp.where(padded_col_invalid, -_INF, log_nu)
+
+    if backend == "pallas":
+        # fused VMEM-resident iteration (inference path; no VJP defined)
+        from roitr_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_iterate_pallas
+
+        out = sinkhorn_iterate_pallas(padded, log_mu, log_nu, num_iter)
+        return out - norm[:, None, None]
 
     def step(carry, _):
         u, v = carry
