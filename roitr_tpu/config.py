@@ -86,6 +86,9 @@ class Config:
     # "xla" (default: scan, differentiable, slightly faster at default
     # shapes) or "pallas" (fused VMEM kernel, inference only)
     sinkhorn_backend: str = "xla"
+    # backbone neighborhood search: "exact" (sort-based top_k) or "approx"
+    # (TPU approx_min_k: 5x faster at 16k keys, 99.6% neighbor recall)
+    knn_method: str = "exact"
 
     # ---- coarse loss ----
     coarse_loss_positive_margin: float = 0.1

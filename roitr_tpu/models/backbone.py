@@ -38,12 +38,13 @@ class Level(NamedTuple):
     down_idx: Optional[jnp.ndarray]  # (M,) index into the parent level
 
 
-def _self_neighborhood(points, normals, count, nsample, self_idx=None):
+def _self_neighborhood(points, normals, count, nsample, self_idx=None, method="exact"):
     """Self-kNN (excluding the point itself) + PPFs for one level."""
     if self_idx is not None:
         group_idx = self_idx
     else:
-        group_idx, _ = masked_knn(points, points, count, nsample, exclude_self=True)
+        group_idx, _ = masked_knn(points, points, count, nsample,
+                                  exclude_self=True, method=method)
     neighbor_mask = group_idx < count
     ppf = calc_ppf(points, normals, points[group_idx], normals[group_idx])
     return group_idx, ppf, neighbor_mask
@@ -61,6 +62,7 @@ class TransitionDown(nn.Module):
     stride: int
     nsample: int
     dtype: Any = jnp.float32
+    knn_method: str = "exact"
 
     @nn.compact
     def __call__(self, points, normals, feats, count, fps_idx=None, cross_idx=None):
@@ -79,7 +81,8 @@ class TransitionDown(nn.Module):
         if cross_idx is not None:
             group_idx = cross_idx
         else:
-            group_idx, _ = masked_knn(new_points, points, count, self.nsample, exclude_self=True)
+            group_idx, _ = masked_knn(new_points, points, count, self.nsample,
+                                      exclude_self=True, method=self.knn_method)
         neighbor_mask = group_idx < count
         ppf = calc_ppf(new_points, new_normals, points[group_idx], normals[group_idx])
 
@@ -169,6 +172,7 @@ class RIPointTransformer(nn.Module):
     strides: Sequence[int] = (1, 4, 4, 4)
     nsample: Sequence[int] = (8, 16, 16, 16)
     dtype: Any = jnp.float32
+    knn_method: str = "exact"
 
     def setup(self):
         f = self.factor
@@ -186,6 +190,7 @@ class RIPointTransformer(nn.Module):
                     stride=self.strides[lvl],
                     nsample=self.nsample[lvl],
                     dtype=self.dtype,
+                    knn_method=self.knn_method,
                     name=f"enc{lvl + 1}_down",
                 ),
                 "blocks": [
@@ -246,7 +251,8 @@ class RIPointTransformer(nn.Module):
                 p, nrm, x, cnt, fps_idx=fps_idx, cross_idx=cross_idx
             )
             group_idx, ppf, nmask = _self_neighborhood(
-                p, nrm, cnt, self.nsample[lvl], self_idx=self_idx
+                p, nrm, cnt, self.nsample[lvl], self_idx=self_idx,
+                method=self.knn_method,
             )
             for block in stage["blocks"]:
                 x = block(x, group_idx, ppf, nmask)

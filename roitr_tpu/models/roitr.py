@@ -80,6 +80,7 @@ class RoITr(nn.Module):
             strides=tuple(cfg.enc_strides),
             nsample=tuple(cfg.enc_nsample),
             dtype=compute_dtype,
+            knn_method=cfg.knn_method,
             name="backbone",
         )
         self.coarse_proj = nn.Dense(256 * f, name="coarse_proj")

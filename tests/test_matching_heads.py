@@ -1,0 +1,153 @@
+"""Parity tests for matching heads vs torch implementations of the
+reference formulas (model/modules.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from roitr_tpu.models.matching import (
+    adaptive_superpoint_matching,
+    coarse_matching,
+    fine_matching,
+    gt_coarse_corr_generator,
+)
+
+
+def test_coarse_matching_matches_torch(rng):
+    m, n, c, k = 20, 24, 8, 10
+    ref = rng.randn(m, c).astype(np.float32)
+    src = rng.randn(n, c).astype(np.float32)
+    ref /= np.linalg.norm(ref, axis=1, keepdims=True)
+    src /= np.linalg.norm(src, axis=1, keepdims=True)
+
+    out = coarse_matching(jnp.array(ref), jnp.array(src),
+                          jnp.ones(m, bool), jnp.ones(n, bool), k, True)
+
+    # torch reference (modules.py:141-178)
+    tr, ts = torch.tensor(ref), torch.tensor(src)
+    d = torch.cdist(tr, ts) ** 2
+    scores = torch.exp(-d)
+    r = scores / (scores.sum(1, keepdim=True) + 1e-8)
+    s = scores / (scores.sum(0, keepdim=True) + 1e-8)
+    scores = r * s
+    corr_v, corr_i = scores.view(-1).topk(k=k, largest=True)
+    ref_i = (corr_i // n).numpy()
+    src_i = (corr_i % n).numpy()
+
+    np.testing.assert_allclose(np.asarray(out.scores), corr_v.numpy(), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.ref_indices), ref_i)
+    np.testing.assert_array_equal(np.asarray(out.src_indices), src_i)
+    assert np.asarray(out.masks).all()
+
+
+def test_coarse_matching_masks_exclude_invalid(rng):
+    m, n, c = 12, 12, 4
+    ref = rng.randn(m, c).astype(np.float32)
+    src = rng.randn(n, c).astype(np.float32)
+    rmask = np.arange(m) < 8
+    smask = np.arange(n) < 9
+    out = coarse_matching(jnp.array(ref), jnp.array(src),
+                          jnp.array(rmask), jnp.array(smask), 20, True)
+    sel = np.asarray(out.masks)
+    assert (np.asarray(out.ref_indices)[sel] < 8).all()
+    assert (np.asarray(out.src_indices)[sel] < 9).all()
+
+
+def test_adaptive_matching_threshold_and_fallback(rng):
+    n, m, c = 16, 14, 8
+    src = rng.randn(n, c).astype(np.float32)
+    src /= np.linalg.norm(src, axis=1, keepdims=True)
+    tgt = rng.randn(m, c).astype(np.float32)
+    tgt /= np.linalg.norm(tgt, axis=1, keepdims=True)
+    # make 3 close pairs
+    tgt[0] = src[0] + 1e-3
+    tgt[1] = src[5] + 1e-3
+    tgt /= np.linalg.norm(tgt, axis=1, keepdims=True)
+
+    out = adaptive_superpoint_matching(
+        jnp.array(src), jnp.array(tgt), jnp.ones(n, bool), jnp.ones(m, bool),
+        min_num_correspondences=5, capacity=32, similarity_threshold=0.75,
+    )
+    # torch-style expected set: pairs below threshold or top-5 smallest
+    d = np.sqrt(np.clip(2 - 2 * src @ tgt.T, 1e-12, None))
+    below = int((d <= 0.75).sum())
+    expect_count = max(below, 5)
+    assert int(np.asarray(out.masks).sum()) == expect_count
+    # scores = exp(-dist)
+    sel = np.asarray(out.masks)
+    got_d = d[np.asarray(out.ref_indices)[sel], np.asarray(out.src_indices)[sel]]
+    np.testing.assert_allclose(np.asarray(out.scores)[sel], np.exp(-got_d), rtol=1e-4)
+
+
+def test_fine_matching_matches_torch(rng):
+    """Mutual top-k + threshold extraction vs the torch reference formulas
+    (modules.py:243-324), compared as correspondence sets."""
+    p, k = 4, 6
+    topk = 2
+    thr = 0.05
+    ref_pts = rng.rand(p, k, 3).astype(np.float32)
+    src_pts = rng.rand(p, k, 3).astype(np.float32)
+    ref_m = rng.rand(p, k) > 0.2
+    src_m = rng.rand(p, k) > 0.2
+    scores_log = rng.randn(p, k, k).astype(np.float32)
+
+    out = fine_matching(
+        jnp.array(ref_pts), jnp.array(src_pts), jnp.array(ref_m), jnp.array(src_m),
+        jnp.array(scores_log), jnp.ones(p, bool),
+        k=topk, mutual=True, confidence_threshold=thr,
+    )
+
+    # torch reference
+    sc = torch.exp(torch.tensor(scores_log))
+    mask_mat = torch.tensor(ref_m).unsqueeze(2) & torch.tensor(src_m).unsqueeze(1)
+    bidx = torch.arange(p)
+    rtopv, rtopi = sc.topk(k=topk, dim=2)
+    r_mat = torch.zeros_like(sc)
+    r_mat[bidx.view(p, 1, 1).expand(-1, k, topk),
+          torch.arange(k).view(1, k, 1).expand(p, -1, topk), rtopi] = rtopv
+    stopv, stopi = sc.topk(k=topk, dim=1)
+    s_mat = torch.zeros_like(sc)
+    s_mat[bidx.view(p, 1, 1).expand(-1, topk, k), stopi,
+          torch.arange(k).view(1, 1, k).expand(p, topk, -1)] = stopv
+    corr = (r_mat > thr) & (s_mat > thr) & mask_mat
+    bi, ri, si = torch.nonzero(corr, as_tuple=True)
+    expect = {
+        (tuple(np.round(ref_pts[b, r], 5)), tuple(np.round(src_pts[b, s], 5)),
+         round(float(sc[b, r, s]), 5))
+        for b, r, s in zip(bi.tolist(), ri.tolist(), si.tolist())
+    }
+
+    sel = np.asarray(out.masks)
+    got = {
+        (tuple(np.round(np.asarray(out.ref_points)[i], 5)),
+         tuple(np.round(np.asarray(out.src_points)[i], 5)),
+         round(float(np.asarray(out.scores)[i]), 5))
+        for i in np.nonzero(sel)[0]
+    }
+    assert got == expect
+
+
+def test_gt_generator_distribution(rng):
+    c = 50
+    idx = np.stack([np.arange(c), np.arange(c)[::-1]], 1).astype(np.int32)
+    overlaps = rng.rand(c).astype(np.float32)
+    masks = np.ones(c, bool)
+    masks[40:] = False
+
+    out = gt_coarse_corr_generator(
+        jax.random.PRNGKey(0), jnp.array(idx), jnp.array(overlaps), jnp.array(masks),
+        num_targets=10, overlap_threshold=0.5,
+    )
+    eligible = set(np.nonzero(masks & (overlaps > 0.5))[0])
+    sel = np.asarray(out.masks)
+    chosen = np.asarray(out.ref_indices)[sel]
+    assert len(chosen) == min(10, len(eligible))
+    assert set(chosen.tolist()) <= {int(idx[i, 0]) for i in eligible}
+    # different keys give different samples (when more eligible than slots)
+    if len(eligible) > 10:
+        out2 = gt_coarse_corr_generator(
+            jax.random.PRNGKey(1), jnp.array(idx), jnp.array(overlaps), jnp.array(masks),
+            num_targets=10, overlap_threshold=0.5,
+        )
+        assert not np.array_equal(np.asarray(out.ref_indices), np.asarray(out2.ref_indices))
