@@ -84,11 +84,26 @@ def make_train_step(
     def train_step(state: TrainState, batch: PairInputs, rng: jax.Array):
         bsz = batch.src_points.shape[0]
         rngs = jax.random.split(jax.random.fold_in(rng, state.step), bsz)
-        (_, metrics), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+        (loss, metrics), grads = jax.value_and_grad(batch_loss, has_aux=True)(
             state.params, batch, rngs
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # NaN guard: a degenerate batch (or numeric blowup) must not poison
+        # the parameters — skip the update instead of writing non-finite
+        # values (the reference crashes and relies on manual checkpoint
+        # resume, trainer.py:94-130)
+        grads_finite = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)])
+        ) & jnp.isfinite(loss)
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(grads_finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, opt_state = tx.update(safe_grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(grads_finite, new, old), params, state.params
+        )
+        metrics = dict(metrics)
+        metrics["grads_finite"] = grads_finite.astype(jnp.float32)
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         return new_state, metrics
 

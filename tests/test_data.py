@@ -135,3 +135,17 @@ def test_fdmatch_dataset(tmp_path, rng):
     delta = item["src_points"][:140] - item["src_raw_points"][:140]
     assert np.abs(delta).max() > 1e-4
     assert "metric_index" in item
+
+
+def test_all_shipped_configs_load():
+    """Every YAML in configs/ must parse into a valid Config."""
+    import glob
+
+    from roitr_tpu.config import load_config
+
+    paths = glob.glob(os.path.join(os.path.dirname(__file__), "..", "configs", "*", "*.yaml"))
+    assert len(paths) >= 6
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.benchmark in ("3DMatch", "3DLoMatch", "4DMatch", "4DLoMatch")
+        assert all(b % 64 == 0 for b in cfg.buckets)

@@ -106,3 +106,22 @@ def test_gradient_accumulation():
         lambda a, b: float(jnp.abs(a - b).max()), state.params, s2.params
     )
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_nan_guard_skips_update(setup):
+    """Non-finite gradients must leave params untouched (skip, not poison)."""
+    import jax.numpy as jnp
+
+    model, tx, state, pairs = setup
+    # poison one input so the loss goes NaN
+    bad = pairs[0]._replace(src_normals=pairs[0].src_normals * jnp.nan)
+    batch = stack_pairs([bad])
+    step = jax.jit(make_train_step(CFG, model, tx))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert float(metrics["grads_finite"]) == 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+    ).all()
