@@ -149,3 +149,43 @@ def test_all_shipped_configs_load():
         cfg = load_config(p)
         assert cfg.benchmark in ("3DMatch", "3DLoMatch", "4DMatch", "4DLoMatch")
         assert all(b % 64 == 0 for b in cfg.buckets)
+
+
+def test_patch_helpers(rng):
+    from roitr_tpu.data.patches import (
+        ball_query_patches,
+        calc_ppf_np,
+        point2node_sampling,
+        random_crop,
+        x_axis_crop,
+    )
+
+    pts = rng.rand(200, 3).astype(np.float32)
+    nodes = pts[::40]
+    idx, mask = ball_query_patches(pts, nodes, radius=0.3, max_points=16, rng=rng)
+    assert idx.shape == (5, 16) and mask.any()
+    d = np.linalg.norm(pts[idx] - nodes[:, None], axis=-1)
+    assert (d[mask] <= 0.3 + 1e-6).all()
+
+    idx2, mask2 = point2node_sampling(pts, nodes, 64, rng=rng)
+    owners = np.argmin(
+        np.linalg.norm(pts[:, None] - nodes[None], axis=-1), axis=1
+    )
+    for i in range(5):
+        assert set(idx2[i][mask2[i]]) <= set(np.nonzero(owners == i)[0])
+
+    # CPU PPF matches the device formula
+    import jax.numpy as jnp
+
+    from roitr_tpu.ops.geometry import calc_ppf
+
+    nrm = rng.randn(5, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    gsel = rng.randint(0, 5, (5, 4))
+    got = calc_ppf_np(nodes, nrm, nodes[gsel], nrm[gsel])
+    want = np.asarray(calc_ppf(jnp.array(nodes), jnp.array(nrm),
+                               jnp.array(nodes[gsel]), jnp.array(nrm[gsel])))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    assert len(random_crop(pts, 0.7, rng)) == 140
+    assert len(x_axis_crop(pts, 0.5)) == 100
