@@ -62,7 +62,8 @@ def dump_pair(path_base: str, data: Dict[str, np.ndarray]):
         import torch
 
         torch.save(
-            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in data.items()},
+            # copy: numpy views of jax buffers are read-only and torch warns
+            {k: torch.from_numpy(np.array(v, copy=True)) for k, v in data.items()},
             path_base + ".pth",
         )
     except ImportError:
