@@ -38,6 +38,41 @@ class Level(NamedTuple):
     down_idx: Optional[jnp.ndarray]  # (M,) index into the parent level
 
 
+def _device_fps_pyramids(src_points, src_count, tgt_points, tgt_count, strides):
+    """FPS-only pyramids for both clouds, sampled in vmapped lockstep.
+
+    Returns two CloudPyramid-shaped namespaces whose kNN fields are None
+    (the encoder computes those per cloud); exact: vmap of the FPS loop
+    produces identical indices to two sequential runs.
+    """
+    import jax
+
+    from roitr_tpu.data.pyramid import CloudPyramid
+
+    pts = jnp.stack([jnp.asarray(src_points), jnp.asarray(tgt_points)])
+    cnt = jnp.stack([jnp.asarray(src_count), jnp.asarray(tgt_count)])
+    fps_fields = {0: {}, 1: {}}
+    for lvl, stride in enumerate(strides):
+        if stride == 1:
+            continue
+        m = pts.shape[1] // stride
+        idx = jax.vmap(furthest_point_sampling, in_axes=(0, 0, None))(pts, cnt, m)
+        for c in (0, 1):
+            fps_fields[c][f"fps_idx{lvl + 1}"] = idx[c]
+        pts = jnp.take_along_axis(pts, idx[:, :, None], axis=1)
+        cnt = jnp.maximum(cnt // stride, 1)
+
+    none_fields = {
+        name: None
+        for name in CloudPyramid._fields
+        if not name.startswith("fps_idx")
+    }
+    return (
+        CloudPyramid(**fps_fields[0], **none_fields),
+        CloudPyramid(**fps_fields[1], **none_fields),
+    )
+
+
 def _self_neighborhood(points, normals, count, nsample, self_idx=None, method="exact"):
     """Self-kNN (excluding the point itself) + PPFs for one level."""
     if self_idx is not None:
@@ -288,11 +323,21 @@ class RIPointTransformer(nn.Module):
         src_pyramid=None,
         tgt_pyramid=None,
     ):
-        # The two clouds run sequentially through the shared-weight encoder.
-        # (A vmapped (2,)-cloud variant was tried and measured 4.7x SLOWER at
-        # N=16k on v5e: XLA lowers the batched neighborhood gathers far worse
-        # than two plain gather chains. Sequential also matches the
-        # reference structure, model.py:195-204.)
+        # Without a host pyramid, compute both clouds' FPS chains in lockstep
+        # (vmap over a (2,) cloud axis): FPS is bound by its sequential
+        # argmax dependency, so running the two clouds in the same loop
+        # halves the chain length. Only FPS is batched this way — vmapping
+        # the attention gathers was measured 4.7x SLOWER at 16k (XLA lowers
+        # batched neighborhood gathers poorly), so the encoder itself stays
+        # sequential per cloud (matching the reference, model.py:195-204).
+        if (
+            src_pyramid is None
+            and tgt_pyramid is None
+            and src_points.shape == tgt_points.shape
+        ):
+            src_pyramid, tgt_pyramid = _device_fps_pyramids(
+                src_points, src_count, tgt_points, tgt_count, self.strides
+            )
         s_levels = self.encode(src_points, src_normals, src_feats, src_count, src_pyramid)
         t_levels = self.encode(tgt_points, tgt_normals, tgt_feats, tgt_count, tgt_pyramid)
         s4, t4 = s_levels[3], t_levels[3]
