@@ -184,6 +184,7 @@ class TransitionUp(nn.Module):
 
     out_dim: int
     dtype: Any = jnp.float32
+    knn_method: str = "exact"
 
     @nn.compact
     def __call__(self, points, feats, coarse_points, coarse_feats, coarse_count,
@@ -193,7 +194,7 @@ class TransitionUp(nn.Module):
         x2 = nn.Dense(self.out_dim, dtype=self.dtype, name="linear2")(coarse_feats)
         x2 = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x2))
         up = three_nn_interpolate(points, coarse_points, x2, coarse_count,
-                                  idx=up_idx, weight=up_w)
+                                  idx=up_idx, weight=up_w, method=self.knn_method)
         return x1 + up
 
 
@@ -256,17 +257,17 @@ class RIPointTransformer(nn.Module):
             self.planes[3], hid(self.planes[3]), self.num_heads, self.dtype,
             name="dec4_block"
         )
-        self.dec3_up = TransitionUp(self.planes[2], self.dtype, name="dec3_up")
+        self.dec3_up = TransitionUp(self.planes[2], self.dtype, self.knn_method, name="dec3_up")
         self.dec3_block = PointBlock(
             self.planes[2], hid(self.planes[2]), self.num_heads, self.dtype,
             name="dec3_block"
         )
-        self.dec2_up = TransitionUp(self.planes[1], self.dtype, name="dec2_up")
+        self.dec2_up = TransitionUp(self.planes[1], self.dtype, self.knn_method, name="dec2_up")
         self.dec2_block = PointBlock(
             self.planes[1], hid(self.planes[1]), self.num_heads, self.dtype,
             name="dec2_block"
         )
-        self.dec1_up = TransitionUp(self.planes[0], self.dtype, name="dec1_up")
+        self.dec1_up = TransitionUp(self.planes[0], self.dtype, self.knn_method, name="dec1_up")
         self.dec1_block = PointBlock(
             self.planes[0], hid(self.planes[0]), self.num_heads, self.dtype,
             name="dec1_block"

@@ -188,6 +188,7 @@ class RoITr(nn.Module):
                 src_masks=src_part.node_masks,
                 ref_knn_masks=tgt_part.node_knn_masks,
                 src_knn_masks=src_part.node_knn_masks,
+                knn_method=cfg.knn_method,
             )
         else:
             from roitr_tpu.ops.partition import NodeCorrespondences

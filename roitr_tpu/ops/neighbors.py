@@ -97,6 +97,7 @@ def three_nn_interpolate(
     k: int = 3,
     idx: jnp.ndarray | None = None,
     weight: jnp.ndarray | None = None,
+    method: str = "exact",
 ) -> jnp.ndarray:
     """Inverse-distance weighted k-NN feature upsampling child -> parent.
 
@@ -107,7 +108,7 @@ def three_nn_interpolate(
     `idx`/`weight` accept host-precomputed values (data/pyramid.py).
     """
     if idx is None or weight is None:
-        idx, dist = masked_knn(parent_xyz, child_xyz, child_count, k)
+        idx, dist = masked_knn(parent_xyz, child_xyz, child_count, k, method=method)
         recip = 1.0 / jnp.clip(dist, min=1e-8)
         weight = recip / jnp.sum(recip, axis=-1, keepdims=True)  # (N, k)
     feats = knn_gather(child_feats, idx)  # (N, k, C)

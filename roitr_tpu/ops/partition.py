@@ -172,6 +172,7 @@ def node_occlusion_score(
     ref_knn_masks: jnp.ndarray,
     src_knn_masks: jnp.ndarray,
     overlap_thres: float = 0.0375,
+    knn_method: str = "exact",
 ):
     """Per-node visibility in [0, 1] via 1-NN cross-cloud distances.
 
@@ -181,8 +182,8 @@ def node_occlusion_score(
     """
     src_points_t = apply_transform(src_points, rot, trans)
 
-    _, ref_d = masked_knn(ref_points, src_points_t, src_count, 1)
-    _, src_d = masked_knn(src_points_t, ref_points, ref_count, 1)
+    _, ref_d = masked_knn(ref_points, src_points_t, src_count, 1, method=knn_method)
+    _, src_d = masked_knn(src_points_t, ref_points, ref_count, 1, method=knn_method)
     ref_overlap = (ref_d[:, 0] < overlap_thres).astype(jnp.float32)
     src_overlap = (src_d[:, 0] < overlap_thres).astype(jnp.float32)
 
