@@ -155,3 +155,24 @@ def test_tester_dumps_files(tmp_path, monkeypatch):
     assert data["src_nodes"].shape[0] == 120 // 64 or data["src_nodes"].shape[0] == 2
     assert data["src_corr_pts"].shape == data["tgt_corr_pts"].shape
     assert data["confidence"].shape[0] == data["src_corr_pts"].shape[0]
+
+
+def test_trainer_resume(tmp_path, monkeypatch):
+    """cfg.pretrain restores params/epoch/bests (reference trainer.py:94-130)."""
+    monkeypatch.chdir(tmp_path)
+    from roitr_tpu.train.trainer import Trainer
+
+    ds = SyntheticDataset(2)
+    t1 = Trainer(TINY, train_dataset=ds, val_dataset=SyntheticDataset(2, seed=50))
+    t1.train()
+    ckpt = os.path.join("snapshot", TINY.exp_dir, "checkpoints", "model_0")
+
+    cfg2 = TINY.replace(pretrain=ckpt, exp_dir="resumed")
+    t2 = Trainer(cfg2, train_dataset=ds, val_dataset=SyntheticDataset(2, seed=50))
+    assert t2.start_epoch == 1
+    assert np.isfinite(t2.best_metrics["loss"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.state.params),
+        jax.tree_util.tree_leaves(t2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
