@@ -47,10 +47,15 @@ def sample_correspondences(
     n_points: int,
 ):
     """Confidence-weighted sampling without replacement
-    (reference evaluate_registration_c2f.py:80-85)."""
+    (reference evaluate_registration_c2f.py:80-85). Falls back to uniform
+    when confidences are degenerate (all-zero dumps from untrained nets)."""
     if confidence.shape[0] > n_points:
-        prob = confidence / confidence.sum()
-        sel = rng.choice(prob.shape[0], n_points, replace=False, p=prob)
+        total = float(confidence.sum())
+        if total > 0 and np.isfinite(total):
+            prob = confidence / total
+            sel = rng.choice(prob.shape[0], n_points, replace=False, p=prob)
+        else:
+            sel = rng.choice(confidence.shape[0], n_points, replace=False)
         return src_corr[sel], tgt_corr[sel], confidence[sel]
     return src_corr, tgt_corr, confidence
 
