@@ -80,3 +80,32 @@ def test_ddp_prefix_stripped(fake_state_dict):
     b = torch_state_dict_to_params(prefixed)
     for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
         np.testing.assert_array_equal(x, y)
+
+
+def test_convert_weights_cli(tmp_path, fake_state_dict):
+    """tools/convert_weights.py: torch .pth -> orbax params checkpoint."""
+    import subprocess
+    import sys
+
+    import torch
+
+    src = tmp_path / "model_ref.pth"
+    torch.save({"state_dict": {k: torch.tensor(v) for k, v in fake_state_dict.items()}},
+               str(src))
+    out = tmp_path / "converted"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+               PYTHONPATH=repo)
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "convert_weights.py"),
+         str(src), str(out)],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "converted" in res.stdout
+
+    from roitr_tpu.train.checkpoint import load_checkpoint
+
+    restored = load_checkpoint(str(out))
+    assert "params" in restored
+    assert "coarse_proj" in restored["params"]
