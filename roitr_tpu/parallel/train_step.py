@@ -27,9 +27,15 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
-    """Adam + per-epoch exponential LR decay + L2 weight decay + gradient
-    accumulation — matching torch Adam(weight_decay)/ExpLR(gamma)
-    (reference main.py:79-102, trainer.py:265-267,306).
+    """Adam(betas=(0.9, 0.99)) or SGD(momentum) + per-epoch exponential LR
+    decay + coupled L2 weight decay + gradient accumulation — matching the
+    reference's torch optimizers exactly (main.py:79-94: SGD branch with
+    cfg.momentum, Adam branch with betas=(0.9, 0.99); ExpLR main.py:97-100;
+    iter_size accumulation trainer.py:265-267).
+
+    torch couples weight_decay into the gradient *before* the moment
+    updates, which is what add_decayed_weights placed first in the chain
+    does (not decoupled AdamW).
     """
     schedule = optax.exponential_decay(
         init_value=cfg.lr,
@@ -37,9 +43,18 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
         decay_rate=cfg.scheduler_gamma,
         staircase=True,
     )
+    name = cfg.optimizer.upper()
+    if name == "SGD":
+        # torch.optim.SGD(momentum=m, dampening=0, nesterov=False):
+        # buf = m*buf + grad; step = -lr*buf  == optax.trace(decay=m)
+        inner = optax.trace(decay=cfg.momentum)
+    elif name == "ADAM":
+        inner = optax.scale_by_adam(b1=0.9, b2=0.99)
+    else:
+        raise NotImplementedError(f"optimizer {cfg.optimizer!r} (reference main.py:93)")
     tx = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
-        optax.scale_by_adam(),
+        inner,
         optax.scale_by_learning_rate(schedule),
     )
     if cfg.iter_size > 1:
