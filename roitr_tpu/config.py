@@ -73,6 +73,12 @@ class Config:
     coarse_overlap_threshold: float = 0.1
     # cap for statically-shaped GT node-correspondence candidates
     max_gt_corr_candidates: int = 16384
+    # non-rigid adaptive matching (reference RIGA_v2.py:27 hardcodes 0.75;
+    # exposed here so the 4D configs can tune it)
+    coarse_similarity_threshold: float = 0.75
+    # static capacity of the adaptive-matching correspondence buffer;
+    # None = max(4 * num_est_coarse_corr, 512)
+    coarse_corr_capacity: Optional[int] = None
 
     # ---- fine matching ----
     point_per_patch: int = 64
@@ -137,10 +143,31 @@ class Config:
 
 _FIELDS = {f.name for f in dataclasses.fields(Config)}
 
+# Keys that appear in the reference's YAMLs but are dead in its live code
+# path (RIGA-v1 legacy; verified unused outside configs by grep). Tolerated
+# silently so upstream configs load unchanged; anything else unknown warns —
+# a typo'd key must not silently train with the default.
+_REFERENCE_ONLY_KEYS = frozenset({
+    "data_root", "decentralization", "descriptor_dim", "gpu_mode",
+    "input_type", "local_out_dim", "loss_type", "max_neighbors",
+    "overlap_radius", "patch_per_frame", "patch_vicinity", "pos_margin",
+    "proj_dim", "ratio_drop", "resample", "safe_radius", "self_training",
+    "split", "transformer_angle_k", "transformer_feats_dim",
+    "transformer_num_head", "transformer_sigma_a", "transformer_sigma_d",
+    "with_transformer",
+    # reference DDP launch plumbing (main.py:21): meaningless here
+    "local_rank",
+})
+
 
 def load_config(path: str, **overrides) -> Config:
     """Load a two-level YAML config (same layout as the reference's
-    configs/train/*.yaml) into a flat, validated Config."""
+    configs/train/*.yaml) into a flat, validated Config.
+
+    Unknown keys outside the reference-only allowlist are dropped with a
+    warning (not an error, so experimental upstream YAMLs still load)."""
+    import logging
+
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
     flat = {}
@@ -154,9 +181,13 @@ def load_config(path: str, **overrides) -> Config:
             flat[section] = body
     flat.update(overrides)
     unknown = set(flat) - _FIELDS
-    # tolerate reference-only keys so upstream YAMLs load unchanged
-    for k in list(unknown):
+    for k in sorted(unknown):
         flat.pop(k)
+        if k not in _REFERENCE_ONLY_KEYS:
+            logging.getLogger("roitr_tpu").warning(
+                "config %s: unknown key %r ignored (not a Config field; "
+                "check for typos)", path, k,
+            )
     if "transformer_architecture" in flat:
         flat["transformer_architecture"] = tuple(flat["transformer_architecture"])
     return Config(**flat)

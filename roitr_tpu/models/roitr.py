@@ -227,8 +227,9 @@ class RoITr(nn.Module):
                 src_part.node_masks,
                 tgt_part.node_masks,
                 min_num_correspondences=cfg.num_est_coarse_corr,
-                capacity=max(cfg.num_est_coarse_corr * 4, 512),
-                similarity_threshold=0.75,
+                capacity=cfg.coarse_corr_capacity
+                or max(cfg.num_est_coarse_corr * 4, 512),
+                similarity_threshold=cfg.coarse_similarity_threshold,
             )
             # reference returns (src, tgt); pipeline consumes (tgt=ref, src)
             est = CoarseCorr(m.src_indices, m.ref_indices, m.scores, m.masks)

@@ -212,3 +212,51 @@ def test_rotated_benchmark_determinism(rng):
     overlap_ok = sa @ ra.T + tra.T
     # src and tgt are unrelated here; just check the transform stays rigid
     np.testing.assert_allclose(ra @ ra.T, np.eye(3), atol=1e-5)
+
+
+def test_config_warns_on_typo_key_but_not_reference_keys(tmp_path, caplog):
+    """A typo'd key must warn (VERDICT weak #7); known reference-only keys
+    (dead in the reference live path) and reference YAMLs stay silent."""
+    import glob
+    import logging
+
+    from roitr_tpu.config import load_config
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        "coarse_matching:\n  fine_matching_topkk: 5\n  num_est_coarse_corr: 128\n"
+    )
+    with caplog.at_level(logging.WARNING, logger="roitr_tpu"):
+        cfg = load_config(str(bad))
+    assert cfg.num_est_coarse_corr == 128
+    assert any("fine_matching_topkk" in r.message for r in caplog.records)
+
+    caplog.clear()
+    ok = tmp_path / "ok.yaml"
+    ok.write_text("model:\n  transformer_sigma_d: 0.2\n  local_rank: 0\n")
+    with caplog.at_level(logging.WARNING, logger="roitr_tpu"):
+        load_config(str(ok))
+    assert not caplog.records
+
+    # the actual upstream YAMLs must load silently too
+    ref_paths = glob.glob("/root/reference/configs/*/*.yaml")
+    if ref_paths:
+        with caplog.at_level(logging.WARNING, logger="roitr_tpu"):
+            for p in ref_paths:
+                load_config(p)
+        assert not caplog.records, [r.message for r in caplog.records]
+
+
+def test_config_adaptive_matching_roundtrip(tmp_path):
+    """coarse_similarity_threshold / coarse_corr_capacity thread from YAML
+    (VERDICT weak #8; reference hardcodes 0.75 at RIGA_v2.py:27)."""
+    from roitr_tpu.config import load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "model:\n  benchmark: 4DMatch\ncoarse_matching:\n"
+        "  coarse_similarity_threshold: 0.6\n  coarse_corr_capacity: 1024\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.coarse_similarity_threshold == 0.6
+    assert cfg.coarse_corr_capacity == 1024
