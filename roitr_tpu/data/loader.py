@@ -3,9 +3,19 @@
 Replaces the reference's torch DataLoader + offset-concatenating collate_fn
 (dataset/common.py:50-126, dataset/dataloader.py): pairs padded to the same
 bucket are stacked along a leading batch axis, ready to shard over the
-`data` mesh axis. A background thread pipeline overlaps preprocessing with
-device compute (the reference used 8 worker processes; here normals are the
-only heavy host step).
+`data` mesh axis.
+
+Preprocessing (load -> augment -> kNN-33 normals -> pyramid) is pure
+numpy/native-C++ and GIL-heavy, so with `num_workers > 0` it fans out to a
+pool of worker processes (reference parity: torch DataLoader with
+num_workers=8, main.py:113-127) — a single thread cannot feed an 8-shard
+mesh at 30k points (~0.5-1 s/pair of host work vs ~5 pairs/s device
+consumption). The pool is a dedicated subprocess pool (worker_pool.py) —
+every multiprocessing start method is wrong in a JAX host process (fork:
+deadlock risk on XLA's threads; spawn/forkserver: re-execute the caller's
+__main__ in every child). Workers never touch a device (dataset __getitem__
+is numpy/native-C++ only). A background thread then batches and prefetches
+whatever source is active.
 
 Per-host sharding replaces torch DistributedSampler: each JAX process
 strides the index list by process_index (reference main.py:105-108).
@@ -19,10 +29,16 @@ from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from roitr_tpu.models.roitr import PairInputs
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # jax/flax import stays lazy: spawned loader workers
+    from roitr_tpu.models.roitr import PairInputs  # import this module too
 
 
-def dict_to_pair(d: Dict[str, np.ndarray]) -> PairInputs:
+
+def dict_to_pair(d: Dict[str, np.ndarray]) -> "PairInputs":
+    from roitr_tpu.models.roitr import PairInputs
+
     return PairInputs(
         src_points=d["src_points"],
         src_raw_points=d["src_raw_points"],
@@ -85,8 +101,12 @@ def iterate_batches(
     process_count: int = 1,
     max_items: Optional[int] = None,
     prefetch: int = 2,
+    num_workers: int = 0,
 ) -> Iterator[PairInputs]:
-    """Yield stacked PairInputs batches, prefetched on a background thread."""
+    """Yield stacked PairInputs batches, prefetched on a background thread.
+
+    num_workers > 0 preprocesses items in that many forked worker processes
+    (ordered imap, chunksize 1); 0 keeps everything in this process."""
     indices = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(indices)
@@ -94,17 +114,25 @@ def iterate_batches(
     if max_items is not None:
         indices = indices[:max_items]
 
+    pool = None
+    if num_workers > 0 and len(indices) > 0:
+        from roitr_tpu.data.worker_pool import WorkerPool
+
+        pool = WorkerPool(dataset, num_workers)
+        items = pool.imap([int(i) for i in indices])
+    else:
+        items = (dataset[int(i)] for i in indices)
+
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
     def worker():
         batcher = BucketBatcher(batch_size)
         try:
-            for i in indices:
+            for item in items:
                 if stop.is_set():
                     return
-                pair = dict_to_pair(dataset[int(i)])
-                batch = batcher.add(pair)
+                batch = batcher.add(dict_to_pair(item))
                 if batch is not None:
                     q.put(batch)
             for batch in batcher.flush():
@@ -122,3 +150,5 @@ def iterate_batches(
             yield batch
     finally:
         stop.set()
+        if pool is not None:
+            pool.close()

@@ -108,6 +108,8 @@ class Trainer:
             process_index=jax.process_index(),
             process_count=jax.process_count(),
             max_items=cfg.training_max_iter,
+            # more workers than host cores is pure IPC overhead
+            num_workers=min(cfg.num_workers, os.cpu_count() or 1),
         )
         for it, batch in enumerate(batches):
             timer.tic()
@@ -135,6 +137,8 @@ class Trainer:
             process_index=jax.process_index(),
             process_count=jax.process_count(),
             max_items=cfg.val_max_iter,
+            # more workers than host cores is pure IPC overhead
+            num_workers=min(cfg.num_workers, os.cpu_count() or 1),
         )
         for batch in batches:
             batch = shard_batch(self.mesh, batch)
