@@ -315,3 +315,43 @@ def test_fine_correspondences_end_to_end_close(both_outputs):
         return float((np.linalg.norm(tgt - src_t, axis=1) < 0.1).mean())
 
     assert abs(ir(our_pts) - ir(ref_pts)) < 0.02
+
+
+def test_losses_and_evaluator_true_oracle(both_outputs):
+    """Our overall_loss/evaluate on OUR outputs vs the REAL reference
+    OverallLoss/Evaluator (lib/loss.py) on the aligned reference outputs
+    (identical coarse selections) — converts the hand-transcribed loss
+    oracles of tests/test_losses.py into the real one."""
+    import torch
+
+    from reference_oracle import install_reference
+    from roitr_tpu.losses import evaluate, overall_loss
+
+    install_reference()
+    from lib.loss import Evaluator, OverallLoss  # reference modules
+
+    arr, _, ref_aligned, ours = both_outputs
+
+    our_losses = overall_loss(CFG, ours, jnp.array(arr["rot"]), jnp.array(arr["trans"]))
+    our_metrics = evaluate(CFG, ours, jnp.array(arr["rot"]), jnp.array(arr["trans"]))
+
+    t = lambda a: torch.from_numpy(np.ascontiguousarray(a).copy()).float()
+    ref_out = {
+        k: (t(v) if v.dtype.kind == "f" else torch.from_numpy(v.copy()))
+        for k, v in ref_aligned.items()
+        if isinstance(v, np.ndarray)
+    }
+    data_dict = {"rot": t(arr["rot"])[None], "trans": t(arr["trans"])[None]}
+    with torch.no_grad():
+        ref_losses = OverallLoss(CFG)(ref_out, data_dict)
+        ref_metrics = Evaluator(CFG)(ref_out, data_dict)
+
+    for k in ("loss", "c_loss", "f_loss"):
+        a, b = float(our_losses[k]), float(ref_losses[k])
+        assert abs(a - b) < max(2e-2 * abs(b), 1e-3), f"{k}: {a} vs {b}"
+    # identical coarse selections -> PIR must match exactly (same gt map)
+    np.testing.assert_allclose(
+        float(our_metrics["PIR"]), float(ref_metrics["PIR"]), atol=1e-6)
+    # fine extraction can flip ~2/1689 boundary members (ulp-level ties)
+    np.testing.assert_allclose(
+        float(our_metrics["IR"]), float(ref_metrics["IR"]), atol=5e-3)
