@@ -96,20 +96,25 @@ class LocalPPFAttention(nn.Module):
         p = nn.Dense(self.d_model, dtype=self.dtype, name="proj_p")(pos_embed)  # (M, K, d)
         vp = nn.Dense(self.d_model, dtype=self.dtype, name="proj_vp")(pos_embed)
 
-        qh = _split_heads(q, h)  # (M, H, c)
-        kh = _split_heads(k, h)  # (M, K, H, c)
-        vh = _split_heads(v, h)
-        ph = _split_heads(p, h)
-        vph = _split_heads(vp, h)
+        # Head-segmented attention WITHOUT (M, K, H, c) head splits: the
+        # (N,K,C)->(N,K,H,c) reshapes lower as real layout copies on TPU
+        # (profiled at ~20 ms of the 32k forward, "data formatting" at
+        # 107 GB/s). Per-head contractions are segment-sums over C, i.e. a
+        # matmul with the constant 0/1 segment matrix S (C, H); and
+        # q.k + q.p == q.(k+p). Everything stays in the native (M, K, C)
+        # layout. Mathematically identical to the reference einsums.
+        seg = (jnp.arange(self.d_model) // c)[:, None] == jnp.arange(h)[None, :]
+        seg = seg.astype(q.dtype)  # (C, H)
 
-        scores = (
-            jnp.einsum("mhc,mkhc->mhk", qh, kh) + jnp.einsum("mhc,mkhc->mhk", qh, ph)
-        ) / jnp.sqrt(jnp.asarray(c, feats.dtype))
+        prod = q[:, None, :] * (k + p)  # (M, K, C)
+        scores = jnp.einsum("mkc,ch->mkh", prod, seg) / jnp.sqrt(
+            jnp.asarray(c, feats.dtype)
+        )
         attn = masked_softmax(
-            scores, None if neighbor_mask is None else neighbor_mask[:, None, :]
-        )  # (M, H, K)
-        hidden = jnp.einsum("mhk,mkhc->mhc", attn, vh + vph)
-        hidden = _merge_heads(hidden)  # (M, d)
+            scores, None if neighbor_mask is None else neighbor_mask[:, :, None], axis=1
+        )  # (M, K, H)
+        w = jnp.einsum("mkh,ch->mkc", attn, seg)  # broadcast heads back to C
+        hidden = jnp.sum(w * (v + vp), axis=1)  # (M, d)
 
         hidden = nn.Dense(self.d_model, dtype=self.dtype, name="linear")(hidden)
         residual = feats if node_idx is None else feats[node_idx]
