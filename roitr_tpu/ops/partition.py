@@ -19,7 +19,7 @@ from roitr_tpu.ops.geometry import (
     pairwise_sq_dist,
     prefix_mask,
 )
-from roitr_tpu.ops.neighbors import masked_knn
+from roitr_tpu.ops.neighbors import masked_knn, masked_min_dist
 
 _BIG = 1e12
 
@@ -53,16 +53,38 @@ def point_to_node_partition(
     # padded points must not claim ownership anywhere
     point_to_node = jnp.where(pmask, point_to_node, m)
 
-    # node_masks: nodes that own at least one valid point
-    owners = jax.nn.one_hot(point_to_node, m, dtype=jnp.int32)  # (N, M)
-    node_masks = jnp.sum(owners, axis=0) > 0
+    # Per-node nearest-own-points via ONE stable sort by (owner, distance)
+    # and a rank scatter — exactly top_k(point_limit) over the
+    # owner-masked distance matrix (incl. index-order tie-breaking), but
+    # without materializing the (M, N) one-hot/masked copies or running a
+    # top-k network over 32k lanes per node (profiled at 9 ms of the 32k
+    # forward; the sort path is <1 ms).
+    d_own = jnp.take_along_axis(
+        sq, jnp.clip(point_to_node, 0, max(m - 1, 0))[None, :], axis=0
+    )[0]  # (N,) distance of each point to its owning node
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_owner, _, sorted_idx = jax.lax.sort(
+        (point_to_node, d_own, idx), num_keys=2, is_stable=True
+    )
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_owner[1:] != sorted_owner[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - seg_start  # position of each point within its owner segment
 
-    matching = (point_to_node[None, :] == jnp.arange(m, dtype=jnp.int32)[:, None]) & pmask[None, :]
-    sq_masked = jnp.where(matching, sq, _BIG)
-    neg, node_knn_indices = jax.lax.top_k(-sq_masked, point_limit)  # (M, K)
-    node_knn_indices = node_knn_indices.astype(jnp.int32)
-    node_knn_masks = (-neg) < _BIG
-    node_knn_indices = jnp.where(node_knn_masks, node_knn_indices, n)
+    valid = (sorted_owner < m) & (rank < point_limit)
+    scat_owner = jnp.where(valid, sorted_owner, m)  # m = out of range -> drop
+    scat_rank = jnp.where(valid, rank, point_limit)
+    node_knn_indices = (
+        jnp.full((m, point_limit), n, jnp.int32)
+        .at[scat_owner, scat_rank]
+        .set(sorted_idx, mode="drop")
+    )
+    node_knn_masks = (
+        jnp.zeros((m, point_limit), bool).at[scat_owner, scat_rank].set(True, mode="drop")
+    )
+    # node_masks: nodes that own at least one valid point (rank-0 slot set)
+    node_masks = node_knn_masks[:, 0]
     return Partition(point_to_node, node_masks, node_knn_indices, node_knn_masks)
 
 
@@ -182,10 +204,13 @@ def node_occlusion_score(
     """
     src_points_t = apply_transform(src_points, rot, trans)
 
-    _, ref_d = masked_knn(ref_points, src_points_t, src_count, 1, method=knn_method)
-    _, src_d = masked_knn(src_points_t, ref_points, ref_count, 1, method=knn_method)
-    ref_overlap = (ref_d[:, 0] < overlap_thres).astype(jnp.float32)
-    src_overlap = (src_d[:, 0] < overlap_thres).astype(jnp.float32)
+    # 1-NN distances only (no indices needed): min-reduce beats k=1 top_k
+    # by ~10x at 32k (see ops/neighbors.masked_min_dist); knn_method no
+    # longer matters here since the reduction is exact either way
+    ref_d = masked_min_dist(ref_points, src_points_t, src_count)
+    src_d = masked_min_dist(src_points_t, ref_points, ref_count)
+    ref_overlap = (ref_d < overlap_thres).astype(jnp.float32)
+    src_overlap = (src_d < overlap_thres).astype(jnp.float32)
 
     ref_knn_overlap = jnp.take(ref_overlap, ref_knn_point_ids, axis=0)
     src_knn_overlap = jnp.take(src_overlap, src_knn_point_ids, axis=0)
