@@ -67,8 +67,16 @@ def ransac_pose_estimation_correspondences(
     edge_length_ratio: float = 0.9,
     seed: Optional[int] = None,
     chunk: int = 4096,
+    confidence: Optional[float] = None,
 ) -> np.ndarray:
-    """Returns a (4, 4) transformation src -> tgt."""
+    """Returns a (4, 4) transformation src -> tgt.
+
+    `confidence` (e.g. 0.999) enables Open3D-style early termination: stop
+    once enough hypotheses were drawn that, at the current best inlier
+    ratio, an all-inlier sample was seen with this probability
+    (k = log(1-conf) / log(1-w^ransac_n)). None (default) runs the full
+    budget — exact reference-protocol parity (the reference's criteria
+    `(50000, 1000)` is max_iteration/max_validation, no early stop)."""
     src_pts = np.asarray(src_pts, np.float64)
     tgt_pts = np.asarray(tgt_pts, np.float64)
     if correspondences is not None:
@@ -118,6 +126,13 @@ def ransac_pose_estimation_correspondences(
             best_count = int(counts[cand])
             best_rmse = float(rmse[cand])
             best_rt = (r[cand], t[cand])
+
+        if confidence is not None and 0 < best_count:
+            w = best_count / n
+            denom = np.log1p(-min(w**ransac_n, 1 - 1e-12))
+            needed = np.log1p(-confidence) / denom if denom < 0 else np.inf
+            if start + b >= needed:
+                break
 
     if best_rt is None:
         return eye

@@ -94,8 +94,18 @@ class Tester:
     def test(self):
         n = len(self.dataset)
         t_total = 0.0
-        for idx in range(n):
-            item = self.dataset[idx]
+        pool = None
+        workers = min(getattr(self.cfg, "num_workers", 0), os.cpu_count() or 1)
+        if workers > 1 and n > 1:
+            # overlap host preprocessing with device inference (reference
+            # parity: num_workers DataLoader, main.py:113-127)
+            from roitr_tpu.data.worker_pool import WorkerPool
+
+            pool = WorkerPool(self.dataset, workers)
+            items = pool.imap(range(n))
+        else:
+            items = (self.dataset[i] for i in range(n))
+        for idx, item in enumerate(items):
             pair = dict_to_pair(item)
             t0 = time.perf_counter()
             out = self._fwd(self.params, pair)
@@ -103,6 +113,8 @@ class Tester:
             t_total += time.perf_counter() - t0
             data = trim_outputs(out, pair, metric_index=item.get("metric_index"))
             dump_pair(os.path.join(self.snapshot_dir, str(idx)), data)
+        if pool is not None:
+            pool.close()
         if n:
             print(f"tested {n} pairs, {t_total / n:.3f}s/pair (incl. compile)")
 

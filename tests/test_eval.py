@@ -173,3 +173,36 @@ def test_nfmr_perfect_prediction(rng):
     data_bad = dict(data)
     data_bad["tgt_corr_pts"] = tgt_of_src + 1.0
     assert compute_nrfmr(data_bad) < 0.1
+
+
+def test_ransac_confidence_early_termination(rng):
+    """confidence=0.999 must terminate early on a clean problem and return
+    the same pose as the full budget (reference protocol stays at
+    confidence=None)."""
+    import time
+
+    from roitr_tpu.eval.ransac import ransac_pose_estimation_correspondences
+
+    src = rng.rand(500, 3).astype(np.float64) * 2
+    R, _ = np.linalg.qr(rng.randn(3, 3))
+    if np.linalg.det(R) < 0:
+        R[:, 0] *= -1
+    t = rng.randn(3) * 0.3
+    tgt = src @ R.T + t
+    # 20% outliers
+    out_idx = rng.choice(500, 100, replace=False)
+    tgt_noisy = tgt.copy()
+    tgt_noisy[out_idx] += rng.randn(100, 3)
+
+    t0 = time.perf_counter()
+    full = ransac_pose_estimation_correspondences(
+        src, tgt_noisy, seed=3, max_iterations=50000, chunk=1024)
+    t_full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    early = ransac_pose_estimation_correspondences(
+        src, tgt_noisy, seed=3, max_iterations=50000, chunk=1024,
+        confidence=0.999)
+    t_early = time.perf_counter() - t0
+
+    np.testing.assert_allclose(early, full, atol=1e-6)
+    assert t_early < t_full * 0.5, (t_early, t_full)
