@@ -92,9 +92,22 @@ class Config:
     # "xla" (default: scan, differentiable, slightly faster at default
     # shapes) or "pallas" (fused VMEM kernel, inference only)
     sinkhorn_backend: str = "xla"
+    # > 0 enables convergence early-exit for *inference*: stop once the
+    # max row-potential update falls below tol (still capped at
+    # sinkhorn_iters). 0.0 = fixed-count iteration, exact reference parity
+    # (model/modules.py:55 always runs 100). Typical convergence is ~20
+    # iterations at tol=1e-2; training always uses the fixed count (the
+    # while_loop has no reverse-mode derivative).
+    sinkhorn_tol: float = 0.0
     # backbone neighborhood search: "exact" (sort-based top_k) or "approx"
     # (TPU approx_min_k: 5x faster at 16k keys, 99.6% neighbor recall)
     knn_method: str = "exact"
+    # storage dtype of the global transformer's (N, N, hidden) geometric
+    # embedding: "bf16" (default; halves the HBM-roofline-bound RPE einsum
+    # reads, ~5 ms of the 32k forward; the einsums already compute with
+    # bf16 MXU passes under XLA default matmul precision) or "fp32"
+    # (bit-parity with the reference's fp32 tensor)
+    geo_embedding_storage: str = "bf16"
 
     # ---- coarse loss ----
     coarse_loss_positive_margin: float = 0.1

@@ -1,6 +1,26 @@
-from roitr_tpu.data.loader import dict_to_pair, iterate_batches, stack_batch  # noqa: F401
-from roitr_tpu.data.preprocess import preprocess_pair  # noqa: F401
-from roitr_tpu.data.synthetic import make_pair_inputs, stack_pairs  # noqa: F401
+# Lazy re-exports (PEP 562): preprocessing worker subprocesses run
+# `python -m roitr_tpu.data.worker_main`, which imports this package — an
+# eager scipy/loader import here adds ~1.2 s of startup to EVERY worker
+# (serialized on small hosts). Workers pull in only what unpickling their
+# dataset actually needs.
+_LAZY = {
+    "dict_to_pair": "roitr_tpu.data.loader",
+    "iterate_batches": "roitr_tpu.data.loader",
+    "stack_batch": "roitr_tpu.data.loader",
+    "preprocess_pair": "roitr_tpu.data.preprocess",
+    "make_pair_inputs": "roitr_tpu.data.synthetic",
+    "stack_pairs": "roitr_tpu.data.synthetic",
+}
+
+__all__ = list(_LAZY) + ["get_dataset"]
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def get_dataset(config, mode: str):

@@ -73,6 +73,14 @@ def _device_fps_pyramids(src_points, src_count, tgt_points, tgt_count, strides):
     )
 
 
+def _gather_pn(points, normals, group_idx):
+    """Neighbor (points, normals) via ONE (M, K, 6) row gather: TPU row
+    gathers are per-row-latency-bound (a 3-wide row costs the same as a
+    64-wide one, profiled), so fusing the two gathers halves their cost."""
+    pn = jnp.concatenate([points, normals], axis=-1)[group_idx]
+    return pn[..., :3], pn[..., 3:]
+
+
 def _self_neighborhood(points, normals, count, nsample, self_idx=None, method="exact"):
     """Self-kNN (excluding the point itself) + PPFs for one level."""
     if self_idx is not None:
@@ -81,7 +89,7 @@ def _self_neighborhood(points, normals, count, nsample, self_idx=None, method="e
         group_idx, _ = masked_knn(points, points, count, nsample,
                                   exclude_self=True, method=method)
     neighbor_mask = group_idx < count
-    ppf = calc_ppf(points, normals, points[group_idx], normals[group_idx])
+    ppf = calc_ppf(points, normals, *_gather_pn(points, normals, group_idx))
     return group_idx, ppf, neighbor_mask
 
 
@@ -106,7 +114,7 @@ class TransitionDown(nn.Module):
             m = n // self.stride
             idx = fps_idx if fps_idx is not None else furthest_point_sampling(points, count, m)
             new_count = jnp.maximum(count // self.stride, 1)
-            new_points, new_normals = points[idx], normals[idx]
+            new_points, new_normals = _gather_pn(points, normals, idx)
         else:
             m = n
             idx = None
@@ -119,7 +127,7 @@ class TransitionDown(nn.Module):
             group_idx, _ = masked_knn(new_points, points, count, self.nsample,
                                       exclude_self=True, method=self.knn_method)
         neighbor_mask = group_idx < count
-        ppf = calc_ppf(new_points, new_normals, points[group_idx], normals[group_idx])
+        ppf = calc_ppf(new_points, new_normals, *_gather_pn(points, normals, group_idx))
 
         x = LocalPPFTransformer(
             input_dim=feats.shape[-1],
@@ -209,6 +217,7 @@ class RIPointTransformer(nn.Module):
     nsample: Sequence[int] = (8, 16, 16, 16)
     dtype: Any = jnp.float32
     knn_method: str = "exact"
+    geo_embedding_storage: str = "bf16"
 
     def setup(self):
         f = self.factor
@@ -249,6 +258,7 @@ class RIPointTransformer(nn.Module):
             sigma_a=15.0,
             angle_k=3,
             dtype=self.dtype,
+            embedding_storage=self.geo_embedding_storage,
             name="global_transformer",
         )
 

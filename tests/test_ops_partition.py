@@ -202,3 +202,30 @@ def test_log_sinkhorn_matches_torch_reference(rng):
     plan = np.exp(got[0])
     row_sums = plan[:-1][row_masks[0]].sum(1)
     np.testing.assert_allclose(row_sums, 1.0, rtol=1e-3)
+
+
+def test_log_sinkhorn_early_exit_matches_converged(rng):
+    """tol>0 (while_loop early exit) must agree with the fixed-count scan:
+    a tiny tol runs the full budget (bitwise-identical potentials modulo
+    lowering), and a practical tol=1e-2 stays within convergence error."""
+    b, m, n = 4, 12, 10
+    scores = rng.randn(b, m, n).astype(np.float32)
+    row_masks = rng.rand(b, m) > 0.2
+    col_masks = rng.rand(b, n) > 0.2
+    row_masks[:, 0] = col_masks[:, 0] = True
+    alpha = jnp.float32(1.2)
+    args = (jnp.array(scores), jnp.array(row_masks), jnp.array(col_masks), alpha)
+
+    fixed = np.asarray(log_sinkhorn_ot(*args, num_iter=100))
+    tight = np.asarray(log_sinkhorn_ot(*args, num_iter=100, tol=1e-30))
+    loose = np.asarray(log_sinkhorn_ot(*args, num_iter=100, tol=1e-2))
+
+    valid = ~(
+        np.concatenate([~row_masks, np.zeros((b, 1), bool)], 1)[:, :, None]
+        | np.concatenate([~col_masks, np.zeros((b, 1), bool)], 1)[:, None, :]
+    )
+    np.testing.assert_allclose(tight[valid], fixed[valid], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(loose[valid], fixed[valid], rtol=5e-2, atol=5e-2)
+    # the early-exited plan is still a valid transport plan
+    plan = np.exp(loose[0])
+    np.testing.assert_allclose(plan[:-1][row_masks[0]].sum(1), 1.0, rtol=1e-2)
