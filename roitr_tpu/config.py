@@ -102,6 +102,10 @@ class Config:
     # backbone neighborhood search: "exact" (sort-based top_k) or "approx"
     # (TPU approx_min_k: 5x faster at 16k keys, 99.6% neighbor recall)
     knn_method: str = "exact"
+    # rematerialize local PPF attention in the backward pass (recompute the
+    # fused forward instead of storing (M, K, C) intermediates in HBM).
+    # Training-only effect; inference is untouched.
+    remat_local: bool = False
     # storage dtype of the global transformer's (N, N, hidden) geometric
     # embedding: "bf16" (default; halves the HBM-roofline-bound RPE einsum
     # reads, ~5 ms of the 32k forward; the einsums already compute with

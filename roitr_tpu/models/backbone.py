@@ -106,6 +106,7 @@ class TransitionDown(nn.Module):
     nsample: int
     dtype: Any = jnp.float32
     knn_method: str = "exact"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, points, normals, feats, count, fps_idx=None, cross_idx=None):
@@ -129,7 +130,8 @@ class TransitionDown(nn.Module):
         neighbor_mask = group_idx < count
         ppf = calc_ppf(new_points, new_normals, *_gather_pn(points, normals, group_idx))
 
-        x = LocalPPFTransformer(
+        cls = nn.remat(LocalPPFTransformer) if self.remat else LocalPPFTransformer
+        x = cls(
             input_dim=feats.shape[-1],
             hidden_dim=self.hidden_dim,
             output_dim=self.out_dim,
@@ -148,11 +150,13 @@ class PointBlock(nn.Module):
     hidden_dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feats, group_idx, ppf, neighbor_mask):
         identity = feats
-        x = LocalPPFTransformer(
+        cls = nn.remat(LocalPPFTransformer) if self.remat else LocalPPFTransformer
+        x = cls(
             input_dim=self.dim,
             hidden_dim=self.hidden_dim,
             output_dim=self.dim,
@@ -218,6 +222,10 @@ class RIPointTransformer(nn.Module):
     dtype: Any = jnp.float32
     knn_method: str = "exact"
     geo_embedding_storage: str = "bf16"
+    # rematerialize the local PPF attention blocks in the backward pass
+    # (recompute the cheap fused forward instead of storing the (M, K, C)
+    # intermediates in HBM) — training-only effect
+    remat_local: bool = False
 
     def setup(self):
         f = self.factor
@@ -236,10 +244,12 @@ class RIPointTransformer(nn.Module):
                     nsample=self.nsample[lvl],
                     dtype=self.dtype,
                     knn_method=self.knn_method,
+                    remat=self.remat_local,
                     name=f"enc{lvl + 1}_down",
                 ),
                 "blocks": [
                     PointBlock(p, hid(p), self.num_heads, self.dtype,
+                               remat=self.remat_local,
                                name=f"enc{lvl + 1}_block{b}")
                     for b in range(1, self.enc_blocks[lvl])
                 ],
@@ -265,22 +275,22 @@ class RIPointTransformer(nn.Module):
         self.dec4_up = TransitionUpHead(self.planes[3], self.dtype, name="dec4_up")
         self.dec4_block = PointBlock(
             self.planes[3], hid(self.planes[3]), self.num_heads, self.dtype,
-            name="dec4_block"
+            remat=self.remat_local, name="dec4_block"
         )
         self.dec3_up = TransitionUp(self.planes[2], self.dtype, self.knn_method, name="dec3_up")
         self.dec3_block = PointBlock(
             self.planes[2], hid(self.planes[2]), self.num_heads, self.dtype,
-            name="dec3_block"
+            remat=self.remat_local, name="dec3_block"
         )
         self.dec2_up = TransitionUp(self.planes[1], self.dtype, self.knn_method, name="dec2_up")
         self.dec2_block = PointBlock(
             self.planes[1], hid(self.planes[1]), self.num_heads, self.dtype,
-            name="dec2_block"
+            remat=self.remat_local, name="dec2_block"
         )
         self.dec1_up = TransitionUp(self.planes[0], self.dtype, self.knn_method, name="dec1_up")
         self.dec1_block = PointBlock(
             self.planes[0], hid(self.planes[0]), self.num_heads, self.dtype,
-            name="dec1_block"
+            remat=self.remat_local, name="dec1_block"
         )
 
     def encode(self, points, normals, feats, count, pyramid=None) -> Tuple[Level, ...]:

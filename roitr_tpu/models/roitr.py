@@ -82,6 +82,7 @@ class RoITr(nn.Module):
             dtype=compute_dtype,
             knn_method=cfg.knn_method,
             geo_embedding_storage=cfg.geo_embedding_storage,
+            remat_local=cfg.remat_local,
             name="backbone",
         )
         self.coarse_proj = nn.Dense(256 * f, name="coarse_proj")

@@ -143,6 +143,32 @@ def test_rotation_invariance_of_node_feats(tiny_cfg, tiny_model_and_params):
     assert cos.min() > 0.99, cos.min()
 
 
+def test_remat_local_same_params_and_grads(tiny_cfg, tiny_model_and_params):
+    """cfg.remat_local must not change the param tree or the gradients
+    (jax.checkpoint recomputes the same fused forward). Kept for
+    memory-limited buckets; measured slower at 32k (PERFORMANCE.md)."""
+    model, params, pair = tiny_model_and_params
+    model_r = RoITr(tiny_cfg.replace(remat_local=True))
+    p_r = model_r.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        pair, train=False,
+    )["params"]
+    assert jax.tree_util.tree_structure(p_r) == jax.tree_util.tree_structure(params)
+
+    def loss(m, p):
+        o = m.apply({"params": p}, pair, train=True, rngs={"sampling": jax.random.PRNGKey(7)})
+        return jnp.sum(o["matching_scores"] ** 2)
+
+    g0 = jax.jit(jax.grad(lambda p: loss(model, p)))(params)
+    g1 = jax.jit(jax.grad(lambda p: loss(model_r, p)))(params)
+    mx = max(
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+        )
+    )
+    assert mx < 1e-5, f"remat changed gradients by {mx}"
+
+
 def test_sinkhorn_tol_inference_lever(tiny_cfg, tiny_model_and_params):
     """cfg.sinkhorn_tol > 0 (convergence early-exit) must track the
     fixed-count inference scores closely, and train=True must ignore it

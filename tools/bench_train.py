@@ -9,10 +9,13 @@ production operating points, pipelined with a host-fetch fence (CLAUDE.md).
 Usage: python tools/bench_train.py [bucket ...]   (default: 2048 16384 32768)
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_bucket(bucket, iters):

@@ -7,7 +7,7 @@ remaining milliseconds go (micro-benchmarks of single ops measure ~2 ms
 dispatch overhead instead, CLAUDE.md).
 
 Usage: python tools/profile_hlo.py [bucket] [program]
-  program: backbone | full   (default backbone)
+  program: backbone | full | train   (default backbone)
 """
 
 import glob
@@ -40,6 +40,29 @@ def build():
     cfg = Config(benchmark="3DMatch", sinkhorn_iters=100,
                  host_pyramid=True, knn_method="approx")
     pair = make_inputs(BUCKET, cfg)
+
+    if PROGRAM == "train":
+        from roitr_tpu.data.synthetic import stack_pairs
+        from roitr_tpu.parallel.train_step import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        batch = stack_pairs([pair])
+        model = RoITr(cfg)
+        tx = make_optimizer(cfg, steps_per_epoch=1000)
+        state = create_train_state(cfg, model, pair, jax.random.PRNGKey(0), tx)
+        step = jax.jit(make_train_step(cfg, model, tx))
+        rng = jax.random.PRNGKey(1)
+
+        holder = {"state": state}
+
+        def fn():
+            holder["state"], metrics = step(holder["state"], batch, rng)
+            return metrics
+
+        return (lambda *_: fn()), (), (lambda m: float(m["loss"]))
 
     if PROGRAM == "full":
         model = RoITr(cfg)
