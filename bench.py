@@ -99,6 +99,10 @@ def main():
     setup_cache()
     points = [
         (2048, Config(benchmark="3DMatch", sinkhorn_iters=100), 20, "n2048_default"),
+        (2048,
+         Config(benchmark="3DMatch", sinkhorn_iters=100,
+                host_pyramid=True, knn_method="approx"),
+         30, "n2048_production"),
         (16384,
          Config(benchmark="3DMatch", sinkhorn_iters=100,
                 host_pyramid=True, knn_method="approx"),

@@ -157,6 +157,40 @@ def test_tester_dumps_files(tmp_path, monkeypatch):
     assert data["confidence"].shape[0] == data["src_corr_pts"].shape[0]
 
 
+def test_tester_dp_sharded_matches_single(tmp_path, monkeypatch):
+    """cfg.dp_size > 1 shards test-split inference over the device mesh
+    (one pair per device); the per-pair dumps must be bit-identical to
+    the single-device loop, including the padded ragged tail (5 pairs
+    over 4 shards)."""
+    monkeypatch.chdir(tmp_path)
+    import torch
+
+    from roitr_tpu.data.loader import dict_to_pair
+    from roitr_tpu.eval.tester import Tester
+    from roitr_tpu.models.roitr import RoITr
+
+    ds = SyntheticDataset(5)
+    model = RoITr(TINY)
+    pair = dict_to_pair(ds[0])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, pair, train=False
+    )["params"]
+
+    Tester(TINY.replace(mode="test", exp_dir="single"), dataset=ds, params=params).test()
+    Tester(
+        TINY.replace(mode="test", exp_dir="sharded", dp_size=4), dataset=ds, params=params
+    ).test()
+
+    for i in range(5):
+        a = torch.load(os.path.join("snapshot", "single", TINY.benchmark, f"{i}.pth"),
+                       weights_only=False)
+        b = torch.load(os.path.join("snapshot", "sharded", TINY.benchmark, f"{i}.pth"),
+                       weights_only=False)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k].numpy(), b[k].numpy(), err_msg=f"pair {i}: {k}")
+
+
 def test_trainer_resume(tmp_path, monkeypatch):
     """cfg.pretrain restores params/epoch/bests (reference trainer.py:94-130)."""
     monkeypatch.chdir(tmp_path)
