@@ -167,6 +167,9 @@ class GlobalRPESelfAttention(nn.Module):
     d_model: int
     num_heads: int
     dtype: Any = jnp.float32
+    # "auto": fused Pallas kernel on TPU (reads the (N, N, d) embedding
+    # ONCE per layer, everything else VMEM-resident), XLA einsums elsewhere.
+    backend: str = "auto"  # auto | xla | pallas | pallas_interpret
 
     @nn.compact
     def __call__(
@@ -178,38 +181,55 @@ class GlobalRPESelfAttention(nn.Module):
         h, c = self.num_heads, self.d_model // self.num_heads
         n = x.shape[0]
 
-        q = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(x), h)
-        k = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(x), h)
-        v = _split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(x), h)
+        q2 = nn.Dense(self.d_model, dtype=self.dtype, name="proj_q")(x)  # (N, d)
+        k2 = nn.Dense(self.d_model, dtype=self.dtype, name="proj_k")(x)
+        v2 = nn.Dense(self.d_model, dtype=self.dtype, name="proj_v")(x)
+        q = _split_heads(q2, h)
 
-        # factored q . proj_p(e): contract q into the projection kernel
+        # factored q . proj_p(e): contract q into the projection kernel.
+        # The proj_p bias contributes q . b_p to every score of a query row
+        # — constant along the key axis, hence softmax-invariant; it is
+        # dropped (both backends), which changes nothing downstream.
         wp = self.param("proj_p_kernel", nn.initializers.lecun_normal(), (self.d_model, self.d_model))
-        bp = self.param("proj_p_bias", nn.initializers.zeros, (self.d_model,))
-        # qwp[n, h, D] = sum_c q[n, h, c] * wp[D, h*cph + c]
+        self.param("proj_p_bias", nn.initializers.zeros, (self.d_model,))
         wp_h = wp.reshape(self.d_model, h, c)  # (D_in, H, c)
         qwp = jnp.einsum("nhc,dhc->nhd", q, wp_h)  # (N, H, D_in)
-        scores_p = jnp.einsum("nhd,nmd->hnm", qwp, embed)
-        # bias of proj_p contributes q . b_p, constant along the key axis
-        # (softmax-invariant, kept for score parity)
-        qb = jnp.einsum("nhc,hc->hn", q, bp.reshape(h, c))  # (H, N)
-        scores_p = scores_p + qb[:, :, None]
-        scores_e = jnp.einsum("nhc,mhc->hnm", q, k)
-        scores = (scores_e + scores_p) / jnp.sqrt(jnp.asarray(c, x.dtype))  # (H, N, N)
 
-        kmask = None if key_mask is None else key_mask[None, None, :]
-        attn = masked_softmax(scores, kmask)  # (H, N, N)
-        hidden = jnp.einsum("hnm,mhc->nhc", attn, v)
-        hidden = _merge_heads(hidden)
+        from roitr_tpu.ops.pallas.rpe_attention_kernel import (
+            fused_rpe_self_attention,
+            supported_n,
+            xla_forward,
+        )
 
-        # self-excluding softmax for positional states
-        eye = jnp.eye(n, dtype=bool)[None]
-        self_mask = ~eye if kmask is None else (~eye & kmask)
-        attn_pos = masked_softmax(scores, self_mask)  # (H, N, N)
-        ae = jnp.einsum("hnm,nmd->nhd", attn_pos, embed)  # (N, H, D_in)
+        backend = self.backend
+        if backend == "auto":
+            # kernel needs the key count lane-aligned (N % 128 == 0, i.e.
+            # coarse levels of >= 8192-point buckets); XLA below that
+            backend = (
+                "pallas"
+                if jax.default_backend() == "tpu" and supported_n(n)
+                else "xla"
+            )
+        fmask = (
+            jnp.ones((n,), jnp.float32)
+            if key_mask is None
+            else key_mask.astype(jnp.float32)
+        )
+
+        f32 = lambda t: t.astype(jnp.float32)
+        if backend.startswith("pallas"):
+            hidden, ae = fused_rpe_self_attention(
+                f32(q2), f32(k2), f32(v2), f32(qwp), embed, fmask,
+                backend == "pallas_interpret",
+            )
+        else:
+            hidden, ae = xla_forward(f32(q2), f32(k2), f32(v2), f32(qwp), embed, fmask)
+        hidden = hidden.astype(x.dtype)
+
         wvp = self.param("proj_vp_kernel", nn.initializers.lecun_normal(), (self.d_model, self.d_model))
         bvp = self.param("proj_vp_bias", nn.initializers.zeros, (self.d_model,))
         wvp_h = wvp.reshape(self.d_model, h, c)  # (D_in, H, c)
-        pos_states = jnp.einsum("nhd,dhc->nhc", ae, wvp_h) + bvp.reshape(h, c)[None]
+        pos_states = jnp.einsum("nhd,dhc->nhc", ae.astype(x.dtype), wvp_h) + bvp.reshape(h, c)[None]
         pos_states = _merge_heads(pos_states)  # (N, d)
 
         return hidden, pos_states

@@ -6,6 +6,8 @@ static shapes and optional validity masks. All geometry math stays fp32.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -95,6 +97,10 @@ class GeometricStructureEmbedding(nn.Module):
     angle_k: int = 3
     reduction_a: str = "max"
     backend: str = "auto"  # auto | xla | pallas | pallas_interpret
+    # storage dtype the fused kernel emits directly (the XLA path returns
+    # fp32 and the caller casts — an extra 0.6 ms convert per cloud the
+    # kernel avoids)
+    out_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, count=None) -> jnp.ndarray:
@@ -146,6 +152,7 @@ class GeometricStructureEmbedding(nn.Module):
                 a_indices.reshape(-1, a_indices.shape[-1]),
                 wd, bd, wa, ba,
                 backend == "pallas_interpret",
+                self.out_dtype,
             )
             return out.reshape(n, n, self.hidden_dim)
 

@@ -52,10 +52,13 @@ class GeometricTransformer(nn.Module):
         ref_masks: Optional[jnp.ndarray] = None,
         src_masks: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        embedding = GeometricStructureEmbedding(
-            self.hidden_dim, self.sigma_d, self.sigma_a, self.angle_k, name="embedding"
-        )
         store = jnp.bfloat16 if self.embedding_storage == "bf16" else jnp.float32
+        embedding = GeometricStructureEmbedding(
+            self.hidden_dim, self.sigma_d, self.sigma_a, self.angle_k,
+            out_dtype=store,  # fused kernel emits the storage dtype directly
+            name="embedding",
+        )
+        # no-op on the kernel path; real cast for the XLA embedding backend
         ref_embed = embedding(ref_points, ref_count).astype(store)
         src_embed = embedding(src_points, src_count).astype(store)
 

@@ -44,7 +44,7 @@ def _div_term(hidden: int) -> np.ndarray:
 
 
 def _kernel(d_ref, a_ref, div_ref, wde_ref, wdo_ref, bd_ref,
-            wae_ref, wao_ref, ba_ref, out_ref):
+            wae_ref, wao_ref, ba_ref, out_ref, *, out_dtype=jnp.float32):
     # NOTE (measured, v5e): the fp32 dots below run at ~36 TFLOP/s — near
     # the fp32 MXU roofline; this kernel is compute-bound, not HBM-bound.
     # Casting the operands to bf16 changes nothing: this Mosaic version
@@ -68,10 +68,15 @@ def _kernel(d_ref, a_ref, div_ref, wde_ref, wdo_ref, bd_ref,
             + jnp.dot(jnp.cos(om), wao_ref[...], preferred_element_type=jnp.float32)
         )
         acc = ya if acc is None else jnp.maximum(acc, ya)
-    out_ref[...] = y + acc + bd_ref[0, :][None, :] + ba_ref[0, :][None, :]
+    out = y + acc + bd_ref[0, :][None, :] + ba_ref[0, :][None, :]
+    # emit the consumer's storage dtype directly (bf16 when the global
+    # transformer stores the embedding bf16) — a separate XLA convert of
+    # the (N*N, H) tensor costs a measured 0.6 ms per cloud at N=512
+    out_ref[...] = out.astype(out_dtype)
 
 
-def _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=False):
+def _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=False,
+                    out_dtype=jnp.float32):
     """d_idx (R,), a_idx (R, k) -> (R, H)."""
     r, k = a_idx.shape
     hidden = wd.shape[1]
@@ -83,8 +88,8 @@ def _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=False):
     rp = d_idx.shape[0]
     grid = (rp // TILE,)
     out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((rp, hidden), jnp.float32),
+        functools.partial(_kernel, out_dtype=out_dtype),
+        out_shape=jax.ShapeDtypeStruct((rp, hidden), out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -120,20 +125,25 @@ def _xla_forward(d_idx, a_idx, wd, bd, wa, ba):
     return y + jnp.max(ya, axis=-2) + ba
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_geo_embedding(d_idx, a_idx, wd, bd, wa, ba, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_geo_embedding(d_idx, a_idx, wd, bd, wa, ba, interpret=False,
+                        out_dtype=jnp.float32):
     """Fused sin-basis + projection + max-over-k. d_idx (R,), a_idx (R, k),
-    wd/wa (H, H) interleaved-basis kernels, bd/ba (H,) -> (R, H) fp32."""
-    return _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=interpret)
+    wd/wa (H, H) interleaved-basis kernels, bd/ba (H,) -> (R, H) in
+    out_dtype (fp32 math; the store is cast)."""
+    return _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=interpret,
+                           out_dtype=out_dtype)
 
 
-def _fwd(d_idx, a_idx, wd, bd, wa, ba, interpret):
-    out = _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=interpret)
+def _fwd(d_idx, a_idx, wd, bd, wa, ba, interpret, out_dtype):
+    out = _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=interpret,
+                          out_dtype=out_dtype)
     return out, (d_idx, a_idx, wd, wa)
 
 
-def _bwd(interpret, res, g):
+def _bwd(interpret, out_dtype, res, g):
     d_idx, a_idx, wd, wa = res
+    g = g.astype(jnp.float32)  # weight grads stay fp32 whatever the store
     hidden = wd.shape[1]
     e_d = _xla_basis(d_idx, hidden)  # (R, H)
     dwd = e_d.T @ g

@@ -100,3 +100,67 @@ def test_geo_embedding_module_backends_agree(rng):
     a = m_x.apply({"params": params}, pts, jnp.int32(60))
     b = m_p.apply({"params": params}, pts, jnp.int32(60))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_fused_rpe_attention_matches_xla(rng):
+    """Fused global RPE self-attention (interpret mode) == the XLA einsum
+    formulation, forward and gradients, incl. key masking, self-exclusion,
+    bf16-stored embedding, and a row count that needs TN padding."""
+    from roitr_tpu.ops.pallas.rpe_attention_kernel import (
+        fused_rpe_self_attention,
+        xla_forward,
+    )
+
+    n, h, d = 20, 4, 64  # n % TN != 0 exercises the padding path
+    q2 = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    k2 = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    qwp = jnp.asarray(rng.randn(n, h, d).astype(np.float32) * 0.3)
+    embed = jnp.asarray(rng.randn(n, n, d).astype(np.float32)).astype(jnp.bfloat16)
+    mask = np.ones(n, np.float32)
+    mask[17:] = 0.0  # padded key tail
+    mask = jnp.asarray(mask)
+
+    hid_p, ae_p = fused_rpe_self_attention(q2, k2, v2, qwp, embed, mask, True)
+    hid_x, ae_x = xla_forward(q2, k2, v2, qwp, embed, mask)
+    np.testing.assert_allclose(np.asarray(hid_p), np.asarray(hid_x), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ae_p), np.asarray(ae_x), rtol=1e-4, atol=1e-5)
+
+    def loss(f):
+        def inner(q2, k2, v2, qwp, embed):
+            hid, ae = f(q2, k2, v2, qwp, embed)
+            return jnp.sum(hid * jnp.cos(hid)) + jnp.sum(ae**2)
+
+        return inner
+
+    g_p = jax.grad(loss(lambda *a: fused_rpe_self_attention(*a, mask, True)),
+                   argnums=(0, 1, 2, 3, 4))(q2, k2, v2, qwp, embed)
+    g_x = jax.grad(loss(lambda *a: xla_forward(*a, mask)),
+                   argnums=(0, 1, 2, 3, 4))(q2, k2, v2, qwp, embed)
+    # dembed is a bf16 cotangent (matches the stored-embedding dtype):
+    # its ULP is ~4e-3 relative, so the comparison budget must exceed it
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-2, atol=1e-3
+        )
+
+
+def test_rpe_attention_module_backends_agree(rng):
+    """GlobalRPESelfAttention(backend=pallas_interpret) == xla backend on
+    the same params (wiring + converter-compatible param tree)."""
+    from roitr_tpu.models.attention import GlobalRPESelfAttention
+
+    n, d = 12, 64
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    embed = jnp.asarray(rng.randn(n, n, d).astype(np.float32) * 0.3)
+    mask = jnp.asarray(np.arange(n) < 10)
+
+    m_x = GlobalRPESelfAttention(d, 4, backend="xla")
+    m_p = GlobalRPESelfAttention(d, 4, backend="pallas_interpret")
+    params = m_x.init(jax.random.PRNGKey(0), x, embed, mask)["params"]
+    assert set(params) >= {"proj_q", "proj_k", "proj_v", "proj_p_kernel",
+                           "proj_p_bias", "proj_vp_kernel", "proj_vp_bias"}
+    hx, px = m_x.apply({"params": params}, x, embed, mask)
+    hp, pp = m_p.apply({"params": params}, x, embed, mask)
+    np.testing.assert_allclose(np.asarray(hp), np.asarray(hx), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(px), rtol=1e-4, atol=1e-5)
