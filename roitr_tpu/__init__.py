@@ -14,3 +14,4 @@ coarse-to-fine point-cloud matching pipeline, re-designed for TPU:
 __version__ = "0.1.0"
 
 from roitr_tpu.config import Config, load_config  # noqa: F401
+from roitr_tpu.serving import Matcher  # noqa: F401  (jax imports stay lazy)

@@ -1,0 +1,148 @@
+"""One-call correspondence inference on raw point clouds.
+
+The reference has no serving surface — its inference path starts from a
+dataset pickle and ends in dump files (lib/tester.py:19-69). `Matcher`
+wraps the full production path for a live service: host preprocessing
+(normal estimation + view redirect + bucket padding + optional
+FPS/kNN pyramid — the measured-best levers), one cached jitted program
+per bucket size, and fixed-capacity outputs trimmed back to ragged numpy.
+
+    matcher = Matcher(cfg, params)            # or Matcher.from_checkpoint
+    out = matcher.match(src_xyz, tgt_xyz)     # (n, 3) float numpy each
+    out["src_corr_pts"], out["tgt_corr_pts"], out["confidence"]
+
+Normals are estimated exactly like the datasets do (kNN-33 PCA +
+view-point redirect, reference dataset/tdmatch.py:120-127); pass
+`src_normals`/`tgt_normals` to skip that when the sensor provides them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from roitr_tpu.config import Config
+
+
+class Matcher:
+    """Bucket-cached serving wrapper around the RoITr pipeline."""
+
+    def __init__(self, cfg: Config, params, descriptors: bool = False):
+        import jax
+
+        from roitr_tpu.models.roitr import RoITr
+
+        self.cfg = cfg
+        self.params = params
+        self.descriptors = descriptors
+        self.model = RoITr(cfg)
+        # serving mode: no GT analysis outputs (with_gt=False); one compiled
+        # program per bucket, cached across calls
+        self._fwd = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x, train=False, with_gt=False)
+        )
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: Config, **kw) -> "Matcher":
+        from roitr_tpu.train.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(path)
+        params = restored["params"] if "params" in restored else restored
+        return cls(cfg, params, **kw)
+
+    def _prepare(self, src_pcd, tgt_pcd, src_normals, tgt_normals):
+        from roitr_tpu.data.loader import dict_to_pair
+        from roitr_tpu.data.preprocess import (
+            estimate_normals_np,
+            normal_redirect_np,
+            pad_cloud,
+            pick_bucket,
+        )
+
+        cfg = self.cfg
+        # datasets redirect normals toward the origin view point
+        # (reference dataset/tdmatch.py:46, fdmatch.py:42)
+        view = np.zeros(3, np.float32)
+        if src_normals is None:
+            src_normals = normal_redirect_np(
+                src_pcd, estimate_normals_np(src_pcd, cfg.normal_knn), view
+            )
+        if tgt_normals is None:
+            tgt_normals = normal_redirect_np(
+                tgt_pcd, estimate_normals_np(tgt_pcd, cfg.normal_knn), view
+            )
+        bucket = pick_bucket(max(len(src_pcd), len(tgt_pcd)), cfg.buckets)
+        s_pts, s_nrm, s_feats, s_cnt = pad_cloud(src_pcd, src_normals, bucket)
+        t_pts, t_nrm, t_feats, t_cnt = pad_cloud(tgt_pcd, tgt_normals, bucket)
+        item = {
+            "src_points": s_pts,
+            "src_raw_points": s_pts,
+            "src_normals": s_nrm,
+            "src_feats": s_feats,
+            "src_count": s_cnt,
+            "tgt_points": t_pts,
+            "tgt_normals": t_nrm,
+            "tgt_feats": t_feats,
+            "tgt_count": t_cnt,
+            # serving has no ground truth; the with_gt=False path never
+            # reads these, they only satisfy the input pytree structure
+            "rot": np.eye(3, dtype=np.float32),
+            "trans": np.zeros((3, 1), np.float32),
+        }
+        if self.cfg.host_pyramid:
+            from roitr_tpu.data.pyramid import build_cloud_pyramid
+
+            item["src_pyramid"] = build_cloud_pyramid(
+                s_pts, int(s_cnt), strides=tuple(cfg.enc_strides),
+                nsample=tuple(cfg.enc_nsample))
+            item["tgt_pyramid"] = build_cloud_pyramid(
+                t_pts, int(t_cnt), strides=tuple(cfg.enc_strides),
+                nsample=tuple(cfg.enc_nsample))
+        return dict_to_pair(item)
+
+    def match(
+        self,
+        src_pcd: np.ndarray,  # (n, 3) float
+        tgt_pcd: np.ndarray,  # (m, 3) float
+        src_normals: Optional[np.ndarray] = None,
+        tgt_normals: Optional[np.ndarray] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Predict dense correspondences between two raw clouds.
+
+        Returns src_corr_pts/tgt_corr_pts (C, 3) and confidence (C,), C
+        data-dependent (fixed-capacity buffers trimmed by their validity
+        mask); with descriptors=True also the node/point descriptors."""
+        src_pcd = np.ascontiguousarray(src_pcd, np.float32)
+        tgt_pcd = np.ascontiguousarray(tgt_pcd, np.float32)
+        # cap to the dataset limit AND the largest static bucket (reference
+        # caps at 30k, dataset/tdmatch.py:72-78; random subsample like it)
+        limit = min(self.cfg.points_limit, max(self.cfg.buckets))
+        if len(src_pcd) > limit or len(tgt_pcd) > limit:
+            rng = np.random.RandomState(0)
+            from roitr_tpu.data.preprocess import cap_points
+
+            src_pcd = cap_points(rng, src_pcd, limit)
+            tgt_pcd = cap_points(rng, tgt_pcd, limit)
+        pair = self._prepare(src_pcd, tgt_pcd, src_normals, tgt_normals)
+        out = self._fwd(self.params, pair)
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        cmask = out["corr_masks"]
+        res = {
+            "src_corr_pts": out["src_corr_points"][cmask],
+            "tgt_corr_pts": out["tgt_corr_points"][cmask],
+            "confidence": out["corr_scores"][cmask],
+        }
+        if self.descriptors:
+            sc, tc = int(out["src_count"]), int(out["tgt_count"])
+            snc, tnc = int(out["src_node_count"]), int(out["tgt_node_count"])
+            res.update(
+                src_nodes=out["src_nodes"][:snc],
+                tgt_nodes=out["tgt_nodes"][:tnc],
+                src_node_desc=out["src_node_feats"][:snc],
+                tgt_node_desc=out["tgt_node_feats"][:tnc],
+                src_point_desc=out["src_point_feats"][:sc],
+                tgt_point_desc=out["tgt_point_feats"][:tc],
+            )
+        return res

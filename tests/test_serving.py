@@ -1,0 +1,88 @@
+"""Serving API: raw clouds in, trimmed correspondences out (no reference
+equivalent — lib/tester.py only reads dataset pickles)."""
+
+import numpy as np
+import jax
+import pytest
+
+from roitr_tpu.config import Config
+from roitr_tpu.serving import Matcher
+
+CFG = Config(
+    num_est_coarse_corr=8,
+    num_gt_coarse_corr=8,
+    point_per_patch=8,
+    sinkhorn_iters=5,
+    max_gt_corr_candidates=16,
+    buckets=(128, 256),
+    points_limit=300,
+    normal_knn=9,
+)
+
+
+@pytest.fixture(scope="module")
+def matcher():
+    from roitr_tpu.data.synthetic import make_pair_inputs
+    from roitr_tpu.models.roitr import RoITr
+
+    rng = np.random.RandomState(0)
+    pair = make_pair_inputs(rng, 128, 120, 112, normal_k=9)
+    model = RoITr(CFG)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        pair, train=False,
+    )["params"]
+    return Matcher(CFG, params, descriptors=True)
+
+
+def test_match_raw_clouds(matcher):
+    rng = np.random.RandomState(1)
+    src = rng.rand(117, 3).astype(np.float32)  # odd sizes -> bucket padding
+    tgt = rng.rand(103, 3).astype(np.float32)
+    out = matcher.match(src, tgt)
+
+    assert out["src_corr_pts"].shape == out["tgt_corr_pts"].shape
+    assert out["confidence"].shape[0] == out["src_corr_pts"].shape[0]
+    for v in out.values():
+        assert np.isfinite(np.asarray(v, np.float32)).all()
+    # descriptors trimmed to valid counts and L2-normalized
+    assert out["src_point_desc"].shape[0] == 117
+    assert out["tgt_point_desc"].shape[0] == 103
+    np.testing.assert_allclose(
+        np.linalg.norm(out["src_node_desc"], axis=-1), 1.0, atol=1e-4
+    )
+
+
+def test_match_deterministic_and_bucket_cached(matcher):
+    rng = np.random.RandomState(2)
+    src = rng.rand(100, 3).astype(np.float32)
+    tgt = rng.rand(90, 3).astype(np.float32)
+    a = matcher.match(src, tgt)
+    b = matcher.match(src, tgt)
+    np.testing.assert_array_equal(a["src_corr_pts"], b["src_corr_pts"])
+    np.testing.assert_array_equal(a["confidence"], b["confidence"])
+
+    # a larger pair lands in the next bucket and still runs
+    big_src = rng.rand(200, 3).astype(np.float32)
+    big_tgt = rng.rand(180, 3).astype(np.float32)
+    out = matcher.match(big_src, big_tgt)
+    assert np.isfinite(out["confidence"]).all()
+
+
+def test_match_caps_oversized_clouds(matcher):
+    rng = np.random.RandomState(3)
+    src = rng.rand(400, 3).astype(np.float32)  # > points_limit and > buckets
+    tgt = rng.rand(50, 3).astype(np.float32)
+    out = matcher.match(src, tgt)
+    # capped to min(points_limit=300, max bucket=256)
+    assert out["src_point_desc"].shape[0] <= 256
+
+
+def test_match_accepts_provided_normals(matcher):
+    rng = np.random.RandomState(4)
+    src = rng.rand(80, 3).astype(np.float32)
+    tgt = rng.rand(70, 3).astype(np.float32)
+    sn = np.tile(np.array([[0, 0, 1]], np.float32), (80, 1))
+    tn = np.tile(np.array([[0, 0, 1]], np.float32), (70, 1))
+    out = matcher.match(src, tgt, src_normals=sn, tgt_normals=tn)
+    assert np.isfinite(out["confidence"]).all()
