@@ -141,19 +141,49 @@ def _fwd(d_idx, a_idx, wd, bd, wa, ba, interpret, out_dtype):
     return out, (d_idx, a_idx, wd, wa)
 
 
+_BWD_CHUNK = 8192
+
+
 def _bwd(interpret, out_dtype, res, g):
+    """Weight grads by chunked recompute: the whole-R rematerialized basis
+    e_a is (R, k, H) fp32 — 800 MB at N=512 (R = N^2) — the training
+    peak-memory driver. A lax.scan over row chunks accumulates dwd/dwa
+    with a 25 MB transient instead; padding rows carry zero cotangent so
+    they contribute nothing."""
     d_idx, a_idx, wd, wa = res
     g = g.astype(jnp.float32)  # weight grads stay fp32 whatever the store
     hidden = wd.shape[1]
-    e_d = _xla_basis(d_idx, hidden)  # (R, H)
-    dwd = e_d.T @ g
-    dbd = g.sum(0)
-    # max-over-k routing: recompute per-k projections to find the argmax
-    e_a = _xla_basis(a_idx, hidden)  # (R, k, H)
-    ya = e_a @ wa  # (R, k, H)
-    sel = jax.nn.one_hot(jnp.argmax(ya, axis=-2), a_idx.shape[1], axis=-2, dtype=g.dtype)
-    dwa = jnp.einsum("rkh,rkd->dh", sel * g[:, None, :], e_a)
-    dba = g.sum(0)
+    k = a_idx.shape[1]
+    r = d_idx.shape[0]
+    dbd = dba = g.sum(0)
+
+    pad = (-r) % _BWD_CHUNK
+    if pad:
+        d_idx = jnp.pad(d_idx, (0, pad))
+        a_idx = jnp.pad(a_idx, ((0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    nch = (r + pad) // _BWD_CHUNK
+    chunks = (
+        d_idx.reshape(nch, _BWD_CHUNK),
+        a_idx.reshape(nch, _BWD_CHUNK, k),
+        g.reshape(nch, _BWD_CHUNK, hidden),
+    )
+
+    def step(carry, xs):
+        dwd, dwa = carry
+        d, a, gg = xs
+        e_d = _xla_basis(d, hidden)  # (C, H)
+        dwd = dwd + e_d.T @ gg
+        # max-over-k routing: recompute per-k projections to find the argmax
+        e_a = _xla_basis(a, hidden)  # (C, k, H)
+        ya = e_a @ wa
+        sel = jax.nn.one_hot(jnp.argmax(ya, axis=-2), k, axis=-2, dtype=gg.dtype)
+        dwa = dwa + jnp.einsum("rkh,rkd->dh", sel * gg[:, None, :], e_a)
+        return (dwd, dwa), None
+
+    (dwd, dwa), _ = jax.lax.scan(
+        step, (jnp.zeros_like(wd), jnp.zeros_like(wa)), chunks
+    )
     return (None, None, dwd, dbd, dwa, dba)
 
 
