@@ -7,10 +7,13 @@ approx kNN. Pipelined timing, host-fetch fence (CLAUDE.md).
 Usage: python tools/profile_stages.py [bucket]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BUCKET = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
 ITERS = 8
