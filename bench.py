@@ -32,13 +32,11 @@ ASSUMED_BASELINE = {2048: 10.0, 16384: 4.0, 32768: 2.5}  # pairs/sec
 
 
 def setup_cache():
-    import jax
+    # persistent compilation cache: driver re-runs skip 5-15 min compiles;
+    # shared with main.py / Trainer / Tester / serving via the same helper
+    from roitr_tpu.utils.compile_cache import enable_persistent_cache
 
-    try:  # persistent compilation cache: driver re-runs skip 5-15 min compiles
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    enable_persistent_cache("/root/repo/.jax_cache")
 
 
 def make_inputs(bucket, cfg):

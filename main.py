@@ -45,6 +45,10 @@ def main():
 
     import jax
 
+    from roitr_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if jax.process_index() == 0:
         snapshot_dir = os.path.join("snapshot", cfg.exp_dir)
         os.makedirs(snapshot_dir, exist_ok=True)

@@ -23,6 +23,30 @@ from roitr_tpu.eval.ransac import (
 from roitr_tpu.eval.trajectory import read_trajectory, write_est_trajectory
 
 
+def resolve_gt_folder(whichbenchmark: str) -> str:
+    """Locate the Redwood ground-truth folder (gt.log/gt.info per scene).
+
+    The repo vendors the published 3DMatch/3DLoMatch benchmark metadata under
+    `configs/benchmarks/` (same data the reference ships,
+    reference configs/benchmarks/3DMatch/*/gt.log), so the protocol runs out
+    of the box from any CWD; a relative `configs/benchmarks` next to the CWD
+    still wins for user-supplied splits."""
+    candidates = [
+        os.path.join("configs", "benchmarks", whichbenchmark),
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "configs", "benchmarks", whichbenchmark,
+        ),
+    ]
+    for c in candidates:
+        if os.path.isdir(c):
+            return c
+    raise FileNotFoundError(
+        f"no ground-truth folder for benchmark {whichbenchmark!r}; looked in "
+        f"{candidates} — pass gt_folder= explicitly"
+    )
+
+
 def load_dump(path: str) -> Dict[str, np.ndarray]:
     if path.endswith(".npz"):
         return dict(np.load(path))
@@ -72,7 +96,8 @@ def benchmark_registration(
 ) -> Dict[str, float]:
     """Full protocol: sample -> RANSAC -> IR -> Redwood RR -> FMR
     (reference evaluate_registration_c2f.py:44-118)."""
-    gt_folder = gt_folder or f"configs/benchmarks/{whichbenchmark}"
+    if gt_folder is None:
+        gt_folder = resolve_gt_folder(whichbenchmark)
     out_dir = os.path.join(exp_dir, whichbenchmark, str(n_points))
     os.makedirs(out_dir, exist_ok=True)
 

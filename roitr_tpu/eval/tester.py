@@ -83,6 +83,9 @@ class Tester:
     the single-device loop (tests/test_eval.py)."""
 
     def __init__(self, cfg: Config, dataset=None, params=None):
+        from roitr_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.cfg = cfg
         self.snapshot_dir = os.path.join("snapshot", cfg.exp_dir, cfg.benchmark)
         os.makedirs(self.snapshot_dir, exist_ok=True)

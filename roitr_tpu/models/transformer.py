@@ -52,6 +52,11 @@ class GeometricTransformer(nn.Module):
         ref_masks: Optional[jnp.ndarray] = None,
         src_masks: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.embedding_storage not in ("bf16", "fp32"):
+            raise ValueError(
+                f"embedding_storage must be 'bf16' or 'fp32', got "
+                f"{self.embedding_storage!r}"
+            )
         store = jnp.bfloat16 if self.embedding_storage == "bf16" else jnp.float32
         embedding = GeometricStructureEmbedding(
             self.hidden_dim, self.sigma_d, self.sigma_a, self.angle_k,

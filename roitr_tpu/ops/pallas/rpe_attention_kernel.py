@@ -38,17 +38,6 @@ from jax.experimental.pallas import tpu as pltpu
 TN = 8  # query rows per grid step; embed block = TN x N x D (2 MB bf16 at N=512)
 
 
-def _masked_softmax_rows(scores, mask):
-    """softmax over the last axis of (H, N); all-masked rows -> zeros.
-    Mirrors models/attention.py::masked_softmax exactly."""
-    neg = jnp.where(mask, scores, -jnp.inf)
-    mx = jnp.max(neg, axis=1, keepdims=True)
-    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
-    ex = jnp.where(mask, jnp.exp(neg - mx), 0.0)
-    sm = jnp.sum(ex, axis=1, keepdims=True)
-    return ex / jnp.where(sm == 0.0, 1.0, sm)
-
-
 def _nt(a, b):
     """(X, D) x (Y, D) -> (X, Y), contracting the last dims."""
     return jax.lax.dot_general(

@@ -66,6 +66,15 @@ def log_sinkhorn_ot(
 
     if backend == "pallas":
         # fused VMEM-resident iteration (inference path; no VJP defined)
+        if tol > 0.0:
+            import warnings
+
+            warnings.warn(
+                "sinkhorn_tol > 0 has no effect with sinkhorn_backend='pallas' "
+                "(the fused kernel always runs the fixed iteration count); "
+                "use backend='xla' for the convergence early-exit",
+                stacklevel=2,
+            )
         from roitr_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_iterate_pallas
 
         out = sinkhorn_iterate_pallas(padded, log_mu, log_nu, num_iter)

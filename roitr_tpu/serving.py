@@ -32,6 +32,9 @@ class Matcher:
         import jax
 
         from roitr_tpu.models.roitr import RoITr
+        from roitr_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
 
         self.cfg = cfg
         self.params = params
@@ -116,14 +119,22 @@ class Matcher:
         src_pcd = np.ascontiguousarray(src_pcd, np.float32)
         tgt_pcd = np.ascontiguousarray(tgt_pcd, np.float32)
         # cap to the dataset limit AND the largest static bucket (reference
-        # caps at 30k, dataset/tdmatch.py:72-78; random subsample like it)
+        # caps at 30k, dataset/tdmatch.py:72-78; random subsample like it).
+        # User-provided normals must ride the same permutation or they stop
+        # corresponding to the surviving points.
         limit = min(self.cfg.points_limit, max(self.cfg.buckets))
         if len(src_pcd) > limit or len(tgt_pcd) > limit:
             rng = np.random.RandomState(0)
-            from roitr_tpu.data.preprocess import cap_points
-
-            src_pcd = cap_points(rng, src_pcd, limit)
-            tgt_pcd = cap_points(rng, tgt_pcd, limit)
+            if len(src_pcd) > limit:
+                idx = rng.permutation(len(src_pcd))[:limit]
+                src_pcd = src_pcd[idx]
+                if src_normals is not None:
+                    src_normals = np.asarray(src_normals, np.float32)[idx]
+            if len(tgt_pcd) > limit:
+                idx = rng.permutation(len(tgt_pcd))[:limit]
+                tgt_pcd = tgt_pcd[idx]
+                if tgt_normals is not None:
+                    tgt_normals = np.asarray(tgt_normals, np.float32)[idx]
         pair = self._prepare(src_pcd, tgt_pcd, src_normals, tgt_normals)
         out = self._fwd(self.params, pair)
         out = {k: np.asarray(v) for k, v in out.items()}

@@ -38,6 +38,9 @@ from roitr_tpu.utils.logging import Logger, MetricMeters, ScalarWriter, Timer
 
 class Trainer:
     def __init__(self, cfg: Config, train_dataset=None, val_dataset=None):
+        from roitr_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.cfg = cfg
         self.snapshot_dir = os.path.join("snapshot", cfg.exp_dir)
         self.ckpt_dir = os.path.join(self.snapshot_dir, "checkpoints")

@@ -78,6 +78,20 @@ def test_match_caps_oversized_clouds(matcher):
     assert out["src_point_desc"].shape[0] <= 256
 
 
+def test_match_caps_provided_normals_with_points(matcher):
+    # oversized cloud + user normals: both must be subsampled by the SAME
+    # permutation (advisor round-2 medium finding — previously a ValueError
+    # from mismatched pad_cloud lengths)
+    rng = np.random.RandomState(5)
+    src = rng.rand(400, 3).astype(np.float32)
+    tgt = rng.rand(350, 3).astype(np.float32)
+    sn = np.tile(np.array([[0, 0, 1]], np.float32), (400, 1))
+    tn = np.tile(np.array([[0, 0, 1]], np.float32), (350, 1))
+    out = matcher.match(src, tgt, src_normals=sn, tgt_normals=tn)
+    assert np.isfinite(out["confidence"]).all()
+    assert out["src_point_desc"].shape[0] <= 256
+
+
 def test_match_accepts_provided_normals(matcher):
     rng = np.random.RandomState(4)
     src = rng.rand(80, 3).astype(np.float32)
