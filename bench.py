@@ -1,22 +1,28 @@
-"""Benchmark: flagship RoITr matching inference throughput on one TPU chip.
+"""Benchmark: flagship RoITr matching throughput on one TPU chip.
 
-Prints one JSON line per operating point, headline (production workload)
-LAST: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints one JSON line per metric, headline (production 32k inference) LAST:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}.
 
-Operating points:
-- N=2048, defaults (fp32, exact kNN, device pyramid) — round-1 continuity.
-- N=16384 and N=32768 with the measured-best levers (host-precomputed
-  FPS/kNN pyramid + approx kNN: bit-parity / 99.6% recall, PERFORMANCE.md)
-  — the production workload: real 3DMatch pairs run up to 30k points
-  (reference dataset/tdmatch.py:41,72-78 caps at 30k).
+Metrics:
+- inference pairs/s at four operating points (N=2048 defaults — round-1
+  continuity — and 2048/16384/32768 with the measured-best production
+  levers: host FPS/kNN pyramid + approx kNN, bit-parity / 99.6% recall,
+  PERFORMANCE.md). Each line also carries `ms_per_pair` (the defensible
+  absolute number).
+- training steps/s (fwd + bwd + Adam through the full pipeline incl. GT
+  generation) at 2048 and 32768 — the reference's real cost is 150 epochs
+  of these (lib/trainer.py:169-267).
+- device utilization at 32k: device self-time per pair and the
+  time-weighted fraction of the measured rooflines each op achieves
+  (751 GB/s HBM, ~45 TFLOP/s fp32 MXU — both measured on this chip,
+  PERFORMANCE.md), from an xprof hlo_stats capture.
 
-`vs_baseline` is measured against an assumed CUDA-reference throughput
-(the repo publishes none — BASELINE.md): 10 pairs/s at 2k points (RoITr-
-class torch pipelines run ~100 ms/pair on an RTX 3090) and 2.5 pairs/s at
-30k (the reference's kNN/FPS/attention chains scale superlinearly; ~400
-ms/pair is generous to the reference). North-star: vs_baseline >= 5.
+`vs_baseline` divides by an ASSUMED CUDA-reference throughput — the
+reference publishes none (BASELINE.md): 10 pairs/s at 2k (RoITr-class
+torch pipelines run ~100 ms/pair on an RTX 3090), 2.5 at 30k. Training
+lines carry vs_baseline null rather than inventing a second assumption.
 
-Timing is device-side steady-state, pipelined: ITERS forwards enqueued
+Timing is device-side steady-state, pipelined: ITERS executions enqueued
 asynchronously, fenced once by fetching a device scalar (block_until_ready
 returns early on the axon tunnel; the ~33 ms host<->device RPC would
 dominate per-call timing). Host preprocessing (normals + pyramid) is
@@ -24,11 +30,17 @@ overlapped by the loader's worker pool in production (data/loader.py).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 ASSUMED_BASELINE = {2048: 10.0, 16384: 4.0, 32768: 2.5}  # pairs/sec
+
+# measured rooflines on this v5e chip (PERFORMANCE.md): streaming kernels
+# hit 751 GB/s HBM; the geo-embedding kernel tops out ~36-45 TFLOP/s fp32
+HBM_ROOF_GBPS = 751.0
+MXU_ROOF_GFLOPS = 45e3
 
 
 def setup_cache():
@@ -63,7 +75,7 @@ def make_inputs(bucket, cfg):
     return pair
 
 
-def bench_point(bucket, cfg, iters):
+def build_forward(bucket, cfg):
     import jax
 
     from roitr_tpu.models.roitr import RoITr
@@ -82,6 +94,10 @@ def bench_point(bucket, cfg, iters):
     def fence(out):
         return float(out["matching_scores"].sum())
 
+    return fwd, params, pair, fence
+
+
+def bench_point(fwd, params, pair, fence, iters):
     fence(fwd(params, pair))  # compile
     fence(fwd(params, pair))  # warmup
     t0 = time.perf_counter()
@@ -91,38 +107,140 @@ def bench_point(bucket, cfg, iters):
     return 1.0 / dt
 
 
+def bench_train(bucket, cfg, iters):
+    """Full jitted train step (value_and_grad + Adam), pipelined."""
+    import jax
+
+    from roitr_tpu.data.synthetic import stack_pairs
+    from roitr_tpu.models.roitr import RoITr
+    from roitr_tpu.parallel.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    pair = make_inputs(bucket, cfg)
+    batch = stack_pairs([pair])
+    model = RoITr(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=1000)
+    state = create_train_state(cfg, model, pair, jax.random.PRNGKey(0), tx)
+    step = jax.jit(make_train_step(cfg, model, tx))
+    rng = jax.random.PRNGKey(1)
+
+    state, m = step(state, batch, rng)  # compile
+    float(m["loss"])
+    state, m = step(state, batch, rng)  # warm
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)
+    loss = float(m["loss"])  # fence
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(loss)
+    return 1.0 / dt
+
+
+def profile_utilization(fwd, params, pair, fence, iters=6):
+    """Device self-time + time-weighted roofline fraction via hlo_stats."""
+    import glob
+    import tempfile
+
+    import jax
+
+    tmp = tempfile.mkdtemp(prefix="bench_prof_")
+    with jax.profiler.trace(tmp):
+        outs = [fwd(params, pair) for _ in range(iters)]
+        fence(outs[-1])
+    files = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
+    from xprof.convert.raw_to_tool_data import xspace_to_tool_data
+
+    data, _ = xspace_to_tool_data(files, "hlo_stats", {})
+    tab = json.loads(data.decode() if isinstance(data, bytes) else data)
+    ids = [c["id"] for c in tab["cols"]]
+    rows = [dict(zip(ids, [c["v"] if c else None for c in r["c"]])) for r in tab["rows"]]
+
+    def num(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return 0.0
+
+    total_us = sum(num(r["total_self_time"]) for r in rows)
+    if total_us <= 0:
+        return None
+    weighted = 0.0
+    for r in rows:
+        t = num(r["total_self_time"])
+        frac = max(num(r["hbm_bw"]) / HBM_ROOF_GBPS,
+                   num(r["model_flop_rate"]) / MXU_ROOF_GFLOPS)
+        weighted += t * min(1.0, frac)
+    return {
+        "device_ms_per_pair": round(total_us / iters / 1e3, 3),
+        "roofline_utilization": round(weighted / total_us, 4),
+    }
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
 def main():
     from roitr_tpu.config import Config
 
     setup_cache()
+    prod = dict(sinkhorn_iters=100, host_pyramid=True, knn_method="approx")
     points = [
         (2048, Config(benchmark="3DMatch", sinkhorn_iters=100), 20, "n2048_default"),
-        (2048,
-         Config(benchmark="3DMatch", sinkhorn_iters=100,
-                host_pyramid=True, knn_method="approx"),
-         30, "n2048_production"),
-        (16384,
-         Config(benchmark="3DMatch", sinkhorn_iters=100,
-                host_pyramid=True, knn_method="approx"),
-         10, "n16384_production"),
-        (32768,
-         Config(benchmark="3DMatch", sinkhorn_iters=100,
-                host_pyramid=True, knn_method="approx"),
-         10, "n32768_production"),
+        (2048, Config(benchmark="3DMatch", **prod), 30, "n2048_production"),
+        (16384, Config(benchmark="3DMatch", **prod), 10, "n16384_production"),
     ]
     for bucket, cfg, iters, tag in points:
-        pps = bench_point(bucket, cfg, iters)
-        print(
-            json.dumps(
-                {
-                    "metric": f"inference_pairs_per_sec_{tag}",
-                    "value": round(pps, 3),
-                    "unit": "pairs/sec",
-                    "vs_baseline": round(pps / ASSUMED_BASELINE[bucket], 3),
-                }
-            ),
-            flush=True,
-        )
+        pps = bench_point(*build_forward(bucket, cfg), iters)
+        emit({
+            "metric": f"inference_pairs_per_sec_{tag}",
+            "value": round(pps, 3),
+            "unit": "pairs/sec",
+            "vs_baseline": round(pps / ASSUMED_BASELINE[bucket], 3),
+            "ms_per_pair": round(1e3 / pps, 2),
+        })
+
+    # training throughput (no published reference number -> vs_baseline null)
+    for bucket, iters in ((2048, 8), (32768, 4)):
+        try:
+            cfg = Config(
+                benchmark="3DMatch", sinkhorn_iters=100, iter_size=1,
+                host_pyramid=(bucket > 4096),
+                knn_method="approx" if bucket > 4096 else "exact",
+            )
+            sps = bench_train(bucket, cfg, iters)
+            emit({
+                "metric": f"train_steps_per_sec_n{bucket}",
+                "value": round(sps, 3),
+                "unit": "steps/sec",
+                "vs_baseline": None,
+                "ms_per_step": round(1e3 / sps, 2),
+            })
+        except Exception as e:  # never lose the headline to an aux metric
+            emit({"metric": f"train_steps_per_sec_n{bucket}", "value": 0.0,
+                  "unit": "steps/sec", "vs_baseline": None,
+                  "error": str(e)[:200]})
+
+    # headline point last: 32k production inference (+ device utilization)
+    cfg = Config(benchmark="3DMatch", **prod)
+    fwd, params, pair, fence = build_forward(32768, cfg)
+    pps = bench_point(fwd, params, pair, fence, 10)
+    try:
+        util = profile_utilization(fwd, params, pair, fence) or {}
+    except Exception as e:
+        util = {"profile_error": str(e)[:200]}
+    emit({
+        "metric": "inference_pairs_per_sec_n32768_production",
+        "value": round(pps, 3),
+        "unit": "pairs/sec",
+        "vs_baseline": round(pps / ASSUMED_BASELINE[32768], 3),
+        "ms_per_pair": round(1e3 / pps, 2),
+        **util,
+    })
 
 
 if __name__ == "__main__":

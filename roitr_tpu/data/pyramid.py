@@ -13,7 +13,10 @@ Index semantics mirror the device path exactly (roitr_tpu/models/backbone.py):
 - cross kNN: nsample nearest level-(l-1) points of each level-l point,
   excluding the point itself (reference functions/pointops.py:88-89);
 - self kNN: same within the level.
-Invalid (padded) slots are 0 and masked downstream via counts.
+Short neighbor lists (fewer than nsample+1 valid points in a level) pad
+with index 0 — the reference kernel's segment-start padding — and those
+phantom duplicates participate in attention (no neighbor mask), matching
+pointops exactly.
 """
 
 from __future__ import annotations
@@ -46,14 +49,13 @@ class CloudPyramid(NamedTuple):
 
 
 def _knn_host(keys: np.ndarray, queries: np.ndarray, k: int, key_bucket: int) -> np.ndarray:
-    """Self-excluded kNN with the device path's exact shape semantics
-    (ops/neighbors.py masked_knn): output width k_eff = min(k+1, key_bucket)-1;
-    when fewer valid keys than k_eff+1 exist, trailing slots get invalid
-    indices count, count+1, ... (masked downstream via idx < count), matching
-    the device top_k tie order over +inf-masked padding."""
+    """Self-excluded kNN with the device path's exact semantics
+    (ops/neighbors.py masked_knn): always k columns; when fewer than k+1
+    valid keys exist, trailing slots duplicate key index 0 — the reference
+    kernel's short-segment padding (knnquery_cuda_kernel.cu:65-108), which
+    participates in attention as a real neighbor."""
     count = keys.shape[0]
-    k_eff = min(k + 1, key_bucket) - 1
-    kk = min(k_eff + 1, count)
+    kk = min(k + 1, count)
     try:
         from roitr_tpu import native
 
@@ -68,12 +70,11 @@ def _knn_host(keys: np.ndarray, queries: np.ndarray, k: int, key_bucket: int) ->
         _, idx = cKDTree(keys).query(queries, k=kk)
         if kk == 1:
             idx = idx[:, None]
-    idx = idx[:, 1:] if kk > 1 else idx
-    missing = k_eff - idx.shape[1]
+    idx = idx[:, 1:] if kk > 1 else idx[:, :0]
+    missing = k - idx.shape[1]
     if missing > 0:
-        fill = count + np.arange(missing, dtype=np.int64)
-        fill = np.broadcast_to(fill, (idx.shape[0], missing))
-        idx = np.concatenate([idx, fill], axis=1)
+        idx = np.concatenate(
+            [idx, np.zeros((idx.shape[0], missing), np.int64)], axis=1)
     return idx.astype(np.int32)
 
 

@@ -71,6 +71,38 @@ def make_pair_arrays(
     }
 
 
+def make_flow_pair_arrays(
+    rng: np.random.RandomState,
+    bucket: int,
+    n_valid: int,
+    m_valid: int,
+    overlap: float = 0.7,
+    flow_scale: float = 0.08,
+):
+    """Non-rigid (4DMatch-style) pair: the source deforms under a smooth
+    synthetic flow field before the rigid transform (reference
+    dataset/fdmatch.py:31-98 semantics: src_points = s_pc + s2t_flow is the
+    matching geometry, src_raw_points = s_pc carries the normals/backbone
+    geometry). Returns the make_pair_arrays dict plus 'flow' (bucket, 3)."""
+    arr = make_pair_arrays(rng, bucket, n_valid, m_valid, overlap)
+    # make_pair_arrays guarantees src @ rot.T + trans.T ~ tgt; keep that
+    # cloud as the DEFORMED matching geometry and bend the raw source
+    # backwards by a smooth low-frequency field, so
+    # raw + flow == deformed transforms onto tgt exactly like the reference
+    # convention (deformed source is what registers).
+    deformed = arr["src_points"]
+    freqs = rng.randn(3, 3).astype(np.float32) * 1.5
+    phases = rng.rand(3).astype(np.float32) * 2 * np.pi
+    flow = flow_scale * np.stack(
+        [np.sin(deformed @ freqs[i] + phases[i]) for i in range(3)], axis=1
+    ).astype(np.float32)
+    flow[arr["src_count"]:] = 0.0
+    arr["src_raw_points"] = (deformed - flow).astype(np.float32)
+    arr["src_points"] = deformed
+    arr["flow"] = flow
+    return arr
+
+
 def make_pair_inputs(rng: np.random.RandomState, bucket: int, n_valid: int, m_valid: int,
                      overlap: float = 0.7, normal_k: int = 16):
     """Full PairInputs (jnp) including device-side normal estimation."""

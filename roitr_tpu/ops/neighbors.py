@@ -39,7 +39,14 @@ def masked_knn(
     Returns (idx (Q, k) int32, dist (Q, k) sqrt-distances), sorted ascending.
     `exclude_self=True` reproduces pointops.queryandgroup's self-exclusion
     (reference functions/pointops.py:88-89: take k+1 nearest, drop the
-    nearest) for same-set queries.
+    nearest) for same-set queries — INCLUDING the reference kernel's
+    short-segment padding (knnquery_cuda_kernel.cu:65-108): when a cloud
+    has fewer than k+1 valid points, the trailing neighbor slots duplicate
+    the cloud's FIRST point (index 0) and are returned as ordinary
+    neighbors. The reference's local attention has no neighbor masks, so
+    those phantom duplicates genuinely participate in the softmax; matching
+    that is required for converted-checkpoint parity (found by an fp64
+    layer bisect: level-4 clouds run 8-16 points against nsample=16).
 
     `method="approx"` uses jax.lax.approx_min_k (TPU PartialReduce op) —
     measured 5x faster than the exact sort at 16k keys with 99.6% recall;
@@ -77,6 +84,21 @@ def masked_knn(
         d2 = d2.reshape(qpad, kk)[:q]
     if exclude_self:
         idx, d2 = idx[:, 1:], d2[:, 1:]
+        if idx.shape[1] < k:
+            # buffer itself shorter than k+1: widen to k columns
+            pad = k - idx.shape[1]
+            idx = jnp.concatenate(
+                [idx, jnp.zeros((idx.shape[0], pad), idx.dtype)], axis=1)
+            d2 = jnp.concatenate(
+                [d2, jnp.full((d2.shape[0], pad), _INF, d2.dtype)], axis=1)
+        # ascending sort puts all `key_count` valid keys (self at rank 0)
+        # before the +inf-masked padding, so after the self-drop the slots
+        # at rank >= key_count - 1 are exactly the reference kernel's
+        # phantom pads: point 0, reported at the sentinel distance
+        rank = jnp.arange(idx.shape[1], dtype=jnp.int32)[None, :]
+        phantom = rank >= jnp.asarray(key_count, jnp.int32) - 1
+        idx = jnp.where(phantom, 0, idx)
+        d2 = jnp.where(phantom, _INF, d2)
     return idx, jnp.sqrt(d2)
 
 

@@ -218,6 +218,73 @@ def make_ref_config(cfg):
     )
 
 
+def run_reference_training_step(cfg, arrays, src_normals, tgt_normals, seed=0,
+                                weight_noise=0.0, coarse_override=None,
+                                lr=0.01, weight_decay=0.0):
+    """ONE reference training step (reference lib/trainer.py:169-267 +
+    main.py:79-100): forward with gradients enabled, OverallLoss
+    (lib/loss.py:8-143), loss.backward(), one Adam(betas=(0.9, 0.99)) step.
+
+    The model stays in eval() mode: the reference configures no dropout
+    (geotransformer.py:20 dropout=None -> Identity) and has no batch norm in
+    the live path, so train()/eval() are numerically identical EXCEPT that
+    train() swaps the coarse selection to the torch-RNG GTCoarseCorrGenerator
+    — eval() keeps the deterministic CoarseMatching branch, which
+    `coarse_override` replaces so both pipelines differentiate through
+    IDENTICAL patches.
+
+    Returns (state_dict_before, grads_by_name, state_dict_after, losses)."""
+    riga = install_reference()
+    from lib.loss import OverallLoss
+
+    torch.manual_seed(seed)
+    model = riga.create_model(make_ref_config(cfg)).eval()
+    if weight_noise:
+        g = torch.Generator().manual_seed(seed + 1)
+        with torch.no_grad():
+            for p in model.parameters():
+                p.add_(torch.randn(p.shape, generator=g) * weight_noise)
+
+    if coarse_override is not None:
+        t_idx = torch.from_numpy(np.asarray(coarse_override[0])).long()
+        s_idx = torch.from_numpy(np.asarray(coarse_override[1])).long()
+        ones = torch.ones(t_idx.shape[0])
+
+        class _Stub(torch.nn.Module):
+            def forward(self, *args, **kw):
+                return t_idx, s_idx, ones
+
+        model.coarse_matching = _Stub()
+
+    sd_before = {k: v.detach().clone() for k, v in model.state_dict().items()}
+
+    n = int(arrays["src_count"])
+    m = int(arrays["tgt_count"])
+    t = lambda a: torch.from_numpy(np.ascontiguousarray(a).copy()).float()
+    out = model(
+        t(arrays["src_points"][:n]), t(arrays["tgt_points"][:m]),
+        torch.ones(n, 1), torch.ones(m, 1),
+        t(src_normals[:n]), t(tgt_normals[:m]),
+        t(arrays["rot"]), t(arrays["trans"]),
+        t(arrays["src_raw_points"][:n]),
+    )
+    data_dict = {"rot": t(arrays["rot"])[None], "trans": t(arrays["trans"])[None]}
+    losses = OverallLoss(cfg)(out, data_dict)
+
+    opt = torch.optim.Adam(
+        model.parameters(), lr=lr, betas=(0.9, 0.99), weight_decay=weight_decay
+    )
+    opt.zero_grad()
+    losses["loss"].backward()
+    grads = {
+        k: (p.grad.detach().clone() if p.grad is not None else torch.zeros_like(p))
+        for k, p in model.named_parameters()
+    }
+    opt.step()
+    sd_after = {k: v.detach().clone() for k, v in model.state_dict().items()}
+    return sd_before, grads, sd_after, {k: float(v) for k, v in losses.items()}
+
+
 def run_reference_forward(cfg, arrays, src_normals, tgt_normals, seed=0,
                           weight_noise=0.0, coarse_override=None):
     """Instantiate the real reference RIGA_v2 (random init, seeded), run one

@@ -31,14 +31,9 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-import jax
 import jax.numpy as jnp
 
 from roitr_tpu.config import Config
-from roitr_tpu.data.synthetic import make_pair_arrays
-from roitr_tpu.models.roitr import PairInputs, RoITr
-from roitr_tpu.ops.normals import estimate_normals
-from roitr_tpu.utils.convert import torch_state_dict_to_params
 
 N = 1024  # full bucket, no padding: strict numerics, levels 1024/256/64/16
 
@@ -76,44 +71,9 @@ def _dual_sim_f64(tgt_feats, src_feats):
 
 @pytest.fixture(scope="module")
 def both_outputs():
-    from reference_oracle import run_reference_forward
+    from parity_harness import run_both
 
-    rng = np.random.RandomState(7)
-    arr = make_pair_arrays(rng, N, N, N)
-    sn = np.asarray(estimate_normals(jnp.array(arr["src_points"]), arr["src_count"], k=33))
-    tn = np.asarray(estimate_normals(jnp.array(arr["tgt_points"]), arr["tgt_count"], k=33))
-
-    sd, ref = run_reference_forward(CFG, arr, sn, tn, seed=0)
-
-    params = jax.tree_util.tree_map(
-        jnp.asarray, torch_state_dict_to_params(sd, CFG.transformer_architecture, CFG.enc_blocks)
-    )
-    pair = PairInputs(
-        src_points=jnp.array(arr["src_points"]),
-        src_raw_points=jnp.array(arr["src_raw_points"]),
-        src_normals=jnp.array(sn),
-        src_feats=jnp.ones((N, 1), jnp.float32),
-        src_count=jnp.int32(N),
-        tgt_points=jnp.array(arr["tgt_points"]),
-        tgt_normals=jnp.array(tn),
-        tgt_feats=jnp.ones((N, 1), jnp.float32),
-        tgt_count=jnp.int32(N),
-        rot=jnp.array(arr["rot"]),
-        trans=jnp.array(arr["trans"]),
-    )
-    model = RoITr(CFG)
-    ours = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False))(params, pair)
-    ours = jax.tree_util.tree_map(np.asarray, ours)
-
-    # second reference run with OUR coarse selection injected: downstream
-    # OT + fine matching then run on identical patches on both sides
-    m = ours["node_corr_masks"]
-    _, ref_aligned = run_reference_forward(
-        CFG, arr, sn, tn, seed=0,
-        coarse_override=(ours["tgt_node_corr_indices"][m],
-                         ours["src_node_corr_indices"][m]),
-    )
-    return arr, ref, ref_aligned, ours
+    return run_both(CFG, N, N, N, seed=7)
 
 
 def test_fps_nodes_identical(both_outputs):
