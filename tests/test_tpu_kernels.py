@@ -1,0 +1,104 @@
+"""On-chip Pallas kernel smoke gate (VERDICT round-2 #9), `-m tpu`.
+
+Interpret-mode equivalence (tests/test_pallas_kernels.py) misses real
+Mosaic constraints — the lane-alignment failure class was only ever caught
+on hardware (PERFORMANCE.md "Mosaic constraint"). This gate drives all
+three fused kernels on the REAL chip at lane-aligned shapes and checks them
+against their XLA formulations there. The session conftest forces the CPU
+platform, so the chip run happens in a subprocess with the axon PJRT
+plugin on PYTHONPATH; skipped cleanly when no TPU is reachable.
+
+Run: python -m pytest tests/test_tpu_kernels.py -m tpu
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import numpy as np, jax, jax.numpy as jnp
+
+if not any("tpu" in str(d).lower() or "axon" in d.platform.lower() for d in jax.devices()):
+    print("NO_TPU"); raise SystemExit(0)
+
+rng = np.random.RandomState(0)
+
+# 1. geo-embedding kernel at a production tile (R = N*N with N=64 nodes)
+from roitr_tpu.ops.pallas.geo_embedding_kernel import _pallas_forward as geo_pallas
+from roitr_tpu.ops.pallas.geo_embedding_kernel import _xla_forward as geo_xla
+R, K, H = 4096, 3, 256
+d_idx = jnp.asarray(rng.rand(R).astype(np.float32) * 40)
+a_idx = jnp.asarray(rng.rand(R, K).astype(np.float32) * 3)
+wd = jnp.asarray(rng.randn(H, H).astype(np.float32) * 0.05)
+wa = jnp.asarray(rng.randn(H, H).astype(np.float32) * 0.05)
+bd = jnp.asarray(rng.randn(H).astype(np.float32) * 0.05)
+ba = jnp.asarray(rng.randn(H).astype(np.float32) * 0.05)
+a = np.asarray(jax.jit(lambda *x: geo_pallas(*x))(d_idx, a_idx, wd, bd, wa, ba))
+b = np.asarray(jax.jit(geo_xla)(d_idx, a_idx, wd, bd, wa, ba))
+err = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-30)
+assert err < 1e-5, f"geo_embedding pallas vs xla on chip: {err:.2e}"
+print(f"geo_embedding ok ({err:.1e})")
+
+# 2. fused RPE self-attention at the minimum lane-aligned node count
+from roitr_tpu.ops.pallas.rpe_attention_kernel import (
+    fused_rpe_self_attention, supported_n, xla_forward)
+N, D, HEADS = 128, 256, 4
+assert supported_n(N)
+q2 = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.3)
+k2 = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.3)
+v2 = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.3)
+qwp = jnp.asarray(rng.randn(N, HEADS, D).astype(np.float32) * 0.1)
+embed = jnp.asarray(rng.randn(N, N, D).astype(np.float32) * 0.1)
+mask = jnp.asarray((np.arange(N) < N - 16).astype(np.float32))
+hid_p, ae_p = jax.jit(lambda *x: fused_rpe_self_attention(*x))(q2, k2, v2, qwp, embed, mask)
+hid_x, ae_x = jax.jit(xla_forward)(q2, k2, v2, qwp, embed, mask)
+for name, pa, xa in (("hidden", hid_p, hid_x), ("ae", ae_p, ae_x)):
+    pa, xa = np.asarray(pa), np.asarray(xa)
+    err = np.max(np.abs(pa - xa)) / (np.max(np.abs(xa)) + 1e-30)
+    # on-chip XLA einsums run bf16 MXU passes (Precision.DEFAULT) while the
+    # Pallas kernel computes fp32 (Mosaic upcasts) — measured 4.5e-4
+    assert err < 2e-3, f"rpe {name} pallas vs xla on chip: {err:.2e}"
+print("rpe_attention ok")
+
+# bf16-store variant of the embedding input (the production default)
+hid_pb, ae_pb = jax.jit(lambda *x: fused_rpe_self_attention(*x))(
+    q2, k2, v2, qwp, embed.astype(jnp.bfloat16), mask)
+err = float(np.max(np.abs(np.asarray(hid_pb) - np.asarray(hid_x))))
+assert np.isfinite(err) and err < 0.1, f"bf16-store rpe diverged: {err}"
+print("rpe_attention bf16-store ok")
+
+# 3. fused Sinkhorn vs the XLA scan
+from roitr_tpu.ops.sinkhorn import log_sinkhorn_ot
+scores = jnp.asarray(rng.randn(8, 32, 32).astype(np.float32))
+rmask = jnp.asarray(np.arange(32)[None, :] < np.full((8, 1), 30))
+cmask = jnp.asarray(np.arange(32)[None, :] < np.full((8, 1), 28))
+alpha = jnp.float32(0.5)
+a = np.asarray(jax.jit(lambda s: log_sinkhorn_ot(s, rmask, cmask, alpha, 20, backend="pallas"))(scores))
+b = np.asarray(jax.jit(lambda s: log_sinkhorn_ot(s, rmask, cmask, alpha, 20, backend="xla"))(scores))
+valid = (np.asarray(rmask)[:, :, None] & np.asarray(cmask)[:, None, :])
+err = np.max(np.abs(a[:, :32, :32] - b[:, :32, :32])[valid])
+assert err < 1e-4, f"sinkhorn pallas vs xla on chip: {err:.2e}"
+print(f"sinkhorn ok ({err:.1e})")
+print("ALL_OK")
+"""
+
+
+@pytest.mark.tpu
+def test_fused_kernels_on_chip():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + "/root/.axon_site" + os.pathsep + env.get(
+        "PYTHONPATH", "")
+    res = subprocess.run(
+        [sys.executable, "-c", _CHILD], env=env, capture_output=True, text=True,
+        timeout=900, cwd=REPO,
+    )
+    if "NO_TPU" in res.stdout or "Backend 'axon' is not in the list" in res.stderr:
+        pytest.skip("no TPU reachable")
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "ALL_OK" in res.stdout, res.stdout
