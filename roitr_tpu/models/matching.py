@@ -149,13 +149,14 @@ def fine_matching(
     src_knn_points: jnp.ndarray,  # (P, K, 3)
     ref_knn_masks: jnp.ndarray,  # (P, K)
     src_knn_masks: jnp.ndarray,  # (P, K)
-    score_mat: jnp.ndarray,  # (P, K, K) log-likelihood (dustbin stripped)
+    score_mat: jnp.ndarray,  # (P, K, K) — or (P, K+1, K+1) with use_dustbin
     patch_masks: jnp.ndarray,  # (P,) validity of each patch correspondence
     global_scores: Optional[jnp.ndarray] = None,  # (P,)
     k: int = 3,
     mutual: bool = True,
     confidence_threshold: float = 0.05,
     use_global_score: bool = False,
+    use_dustbin: bool = False,
 ) -> FineCorr:
     """Point matching inside matched patches (reference modules.py:216-324).
 
@@ -163,17 +164,30 @@ def fine_matching(
     mutual, the column top-k) and above the confidence threshold. Extraction
     uses a per-patch top-(K*k) — an upper bound on matches per patch under
     mutual/or merging, so the fixed buffer is exact.
+
+    `use_dustbin=True` keeps the dustbin row/column in the top-k competition
+    (a point whose best matches land in the dustbin yields no
+    correspondence), then strips it before extraction. This is the INTENDED
+    semantics of reference modules.py:272-273 — the reference's own branch
+    slices `corr_mat[:, -1:, -1]`, a typo of GeoTransformer's
+    `[:, :-1, :-1]` that crashes at runtime on any shipped shape (it is
+    dead code: every config sets fine_matching_use_dustbin false).
     """
-    p, kk = score_mat.shape[0], score_mat.shape[1]
+    p = score_mat.shape[0]
     scores = jnp.exp(score_mat)
 
-    mask_mat = ref_knn_masks[:, :, None] & src_knn_masks[:, None, :]
     ref_top = _topk_scatter_mask(scores, k, axis=2)
     src_top = _topk_scatter_mask(scores, k, axis=1)
     above = scores > confidence_threshold
     ref_corr = ref_top & above
     src_corr = src_top & above
     corr_mat = (ref_corr & src_corr) if mutual else (ref_corr | src_corr)
+    if use_dustbin:
+        corr_mat = corr_mat[:, :-1, :-1]
+        scores = scores[:, :-1, :-1]
+    kk = corr_mat.shape[1]
+
+    mask_mat = ref_knn_masks[:, :, None] & src_knn_masks[:, None, :]
     corr_mat = corr_mat & mask_mat & patch_masks[:, None, None]
 
     if use_global_score and global_scores is not None:

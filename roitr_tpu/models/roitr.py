@@ -314,6 +314,7 @@ class RoITr(nn.Module):
             mutual=cfg.fine_matching_mutual,
             confidence_threshold=cfg.fine_matching_confidence_threshold,
             use_global_score=cfg.fine_matching_use_global_score,
+            use_dustbin=cfg.fine_matching_use_dustbin,
         )
         out["tgt_corr_points"] = fine.ref_points
         out["src_corr_points"] = fine.src_points

@@ -127,7 +127,11 @@ class Trainer:
                     f"epoch {epoch} iter {it + 1}: {meters.summary()}, "
                     f"{timer.avg:.3f}s/it\n"
                 )
-                self.writer.write("train", int(self.state.step), metrics)
+                # the reference's scalar stream records RUNNING AVERAGES
+                # (lib/trainer.py:277-286 writes stats_meter .avg), which is
+                # what convergence audits diff against — not the last
+                # batch's instantaneous values
+                self.writer.write("train", int(self.state.step), meters.averages())
         return meters.averages()
 
     def eval_epoch(self, epoch: int) -> Dict[str, float]:

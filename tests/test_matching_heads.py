@@ -4,6 +4,7 @@ reference formulas (model/modules.py)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 
 from roitr_tpu.models.matching import (
@@ -118,6 +119,64 @@ def test_fine_matching_matches_torch(rng):
         for b, r, s in zip(bi.tolist(), ri.tolist(), si.tolist())
     }
 
+    sel = np.asarray(out.masks)
+    got = {
+        (tuple(np.round(np.asarray(out.ref_points)[i], 5)),
+         tuple(np.round(np.asarray(out.src_points)[i], 5)),
+         round(float(np.asarray(out.scores)[i]), 5))
+        for i in np.nonzero(sel)[0]
+    }
+    assert got == expect
+
+
+def _torch_fine_oracle(scores_log, ref_m, src_m, topk, thr, mutual, use_dustbin):
+    """Reference FineMatching semantics (modules.py:243-324), with the
+    use_dustbin branch as GeoTransformer intends (`[:, :-1, :-1]`) — the
+    reference's own `[:, -1:, -1]` is a crashing typo in dead code."""
+    sc = torch.exp(torch.tensor(scores_log))
+    p, kk = sc.shape[0], sc.shape[1]
+    rtopv, rtopi = sc.topk(k=topk, dim=2)
+    r_mat = torch.zeros_like(sc)
+    r_mat.scatter_(2, rtopi, rtopv)
+    stopv, stopi = sc.topk(k=topk, dim=1)
+    s_mat = torch.zeros_like(sc)
+    s_mat.scatter_(1, stopi, stopv)
+    r_corr, s_corr = r_mat > thr, s_mat > thr
+    corr = (r_corr & s_corr) if mutual else (r_corr | s_corr)
+    if use_dustbin:
+        corr = corr[:, :-1, :-1]
+        sc = sc[:, :-1, :-1]
+    mask_mat = torch.tensor(ref_m).unsqueeze(2) & torch.tensor(src_m).unsqueeze(1)
+    corr = corr & mask_mat
+    bi, ri, si = torch.nonzero(corr, as_tuple=True)
+    return sc, list(zip(bi.tolist(), ri.tolist(), si.tolist()))
+
+
+@pytest.mark.parametrize("mutual,use_dustbin", [(False, False), (True, True), (False, True)])
+def test_fine_matching_or_mode_and_dustbin(rng, mutual, use_dustbin):
+    """The least-tested corners (VERDICT round-2 weak #6): OR-merging
+    (mutual=False) and dustbin-aware top-k competition."""
+    p, k = 5, 6
+    topk, thr = 2, 0.05
+    kk = k + 1 if use_dustbin else k
+    ref_pts = rng.rand(p, k, 3).astype(np.float32)
+    src_pts = rng.rand(p, k, 3).astype(np.float32)
+    ref_m = rng.rand(p, k) > 0.2
+    src_m = rng.rand(p, k) > 0.2
+    scores_log = rng.randn(p, kk, kk).astype(np.float32)
+
+    out = fine_matching(
+        jnp.array(ref_pts), jnp.array(src_pts), jnp.array(ref_m), jnp.array(src_m),
+        jnp.array(scores_log), jnp.ones(p, bool),
+        k=topk, mutual=mutual, confidence_threshold=thr, use_dustbin=use_dustbin,
+    )
+    sc, pairs = _torch_fine_oracle(
+        scores_log, ref_m, src_m, topk, thr, mutual, use_dustbin)
+    expect = {
+        (tuple(np.round(ref_pts[b, r], 5)), tuple(np.round(src_pts[b, s], 5)),
+         round(float(sc[b, r, s]), 5))
+        for b, r, s in pairs
+    }
     sel = np.asarray(out.masks)
     got = {
         (tuple(np.round(np.asarray(out.ref_points)[i], 5)),
