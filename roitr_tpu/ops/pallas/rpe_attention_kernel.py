@@ -20,9 +20,12 @@ per-head dot products become ONE NT matmul against the (N, D) key table
 key axis and therefore softmax-invariant; it is dropped here (documented at
 the call site).
 
-Backward: custom VJP recomputes through the XLA formulation (`xla_forward`
-below) — identical math, so training is untouched while inference takes
-the fused path.
+Backward: a second Pallas kernel with the same one-pass structure — the
+embedding is read once and the cotangent written once per layer, with the
+softmax VJPs and all eight gradient matmuls on-chip (the previous
+XLA-recompute VJP streamed the embedding twice more through the thin-head
+einsums). `xla_forward` below remains the small-N / CPU path and the
+numerical reference for both kernels.
 """
 
 from __future__ import annotations
@@ -52,6 +55,60 @@ def _nn(a, b):
     )
 
 
+def _tn_matmul(a, b):
+    """(X, Y) x (X, D) -> (Y, D), contracting the first dims (a^T @ b)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _msoftmax(scores, m):
+    """Masked softmax over the combined (axis 1, axis 2) key axes of an
+    (R, TN, N) score block; fully-masked rows produce zeros."""
+    neg = jnp.where(m, scores, -jnp.inf)
+    mx = jnp.max(jnp.max(neg, axis=2, keepdims=True), axis=1, keepdims=True)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    ex = jnp.where(m, jnp.exp(neg - mx), 0.0)
+    sm = jnp.sum(jnp.sum(ex, axis=2, keepdims=True), axis=1, keepdims=True)
+    return ex / jnp.where(sm == 0.0, 1.0, sm)
+
+
+def _recompute_attn(q_ref, qwp_ref, emb_ref, k_ref, mask_ref, step, num_heads):
+    """Shared forward score/softmax recompute for both kernels. Returns
+    (attn, attn_pos, q_bd, qwp_flat, e_flat) for a TN-row grid step."""
+    h = num_heads
+    tn, d = q_ref.shape
+    c = d // h
+    n = k_ref.shape[0]
+    r = tn * h
+
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, d), 1) // c
+        == jax.lax.broadcasted_iota(jnp.int32, (h, d), 0)
+    ).astype(jnp.float32)  # (H, D) 0/1 head-block mask
+    inv = jnp.float32(1.0 / np.sqrt(c))
+
+    q_bd = (q_ref[...][:, None, :] * seg[None]).reshape(r, d)  # (R, D)
+    qwp_flat = qwp_ref[...].reshape(r, d)  # (R, D)
+    e_flat = emb_ref[...].reshape(tn * n, d).astype(jnp.float32)  # (TN*N, D)
+
+    se = _nt(q_bd, k_ref[...])  # (R, N) — shared keys, no row blocking needed
+    sp = _nt(qwp_flat, e_flat).reshape(r, tn, n)  # (R, TN, N) incl. cross rows
+    s = (sp + se[:, None, :]) * inv
+
+    # masks over (R, TN, N): own-block (j == row), valid keys, self-exclusion
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r, tn, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (r, tn, n), 1)
+    mm = jax.lax.broadcasted_iota(jnp.int32, (r, tn, n), 2)
+    own = jj == rr // h
+    kmask = (mask_ref[...] > 0.0)[None, :, :] & own  # (R, TN, N)
+    selfm = mm != (step * tn + rr // h)
+
+    attn = _msoftmax(s, kmask)  # zero outside the own block
+    attn_pos = _msoftmax(s, kmask & selfm)
+    return attn, attn_pos, q_bd, qwp_flat, e_flat, seg, inv
+
+
 def _kernel(q_ref, qwp_ref, emb_ref, k_ref, v_ref, mask_ref, hid_ref, ae_ref,
             *, num_heads):
     """Fully vectorized over the TN-row tile — no per-row loop (a per-row
@@ -64,50 +121,82 @@ def _kernel(q_ref, qwp_ref, emb_ref, k_ref, v_ref, mask_ref, hid_ref, ae_ref,
     positional aggregations plain (TN*H, TN*N) @ (TN*N, D) matmuls."""
     h = num_heads
     tn, d = q_ref.shape
-    c = d // h
     n = k_ref.shape[0]
     r = tn * h
     step = pl.program_id(0)
 
-    seg = (
-        jax.lax.broadcasted_iota(jnp.int32, (h, d), 1) // c
-        == jax.lax.broadcasted_iota(jnp.int32, (h, d), 0)
-    ).astype(jnp.float32)  # (H, D) 0/1 head-block mask
-    k2 = k_ref[...]
-    v2 = v_ref[...]
-    inv = jnp.float32(1.0 / np.sqrt(c))
+    attn, attn_pos, _, _, e_flat, seg, _ = _recompute_attn(
+        q_ref, qwp_ref, emb_ref, k_ref, mask_ref, step, num_heads
+    )
 
-    q_bd = (q_ref[...][:, None, :] * seg[None]).reshape(r, d)  # (R, D)
-    qwp_flat = qwp_ref[...].reshape(r, d)  # (R, D)
-    e_flat = emb_ref[...].reshape(tn * n, d).astype(jnp.float32)  # (TN*N, D)
-
-    se = _nt(q_bd, k2)  # (R, N) — shared keys, no row blocking needed
-    sp = _nt(qwp_flat, e_flat).reshape(r, tn, n)  # (R, TN, N) incl. cross rows
-    s = (sp + se[:, None, :]) * inv
-
-    # masks over (R, TN, N): own-block (j == row), valid keys, self-exclusion
-    rr = jax.lax.broadcasted_iota(jnp.int32, (r, tn, n), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (r, tn, n), 1)
-    mm = jax.lax.broadcasted_iota(jnp.int32, (r, tn, n), 2)
-    own = jj == rr // h
-    kmask = (mask_ref[...] > 0.0)[None, :, :] & own  # (R, TN, N)
-    selfm = mm != (step * tn + rr // h)
-
-    def msoftmax(scores, m):
-        neg = jnp.where(m, scores, -jnp.inf)
-        mx = jnp.max(jnp.max(neg, axis=2, keepdims=True), axis=1, keepdims=True)
-        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
-        ex = jnp.where(m, jnp.exp(neg - mx), 0.0)
-        sm = jnp.sum(jnp.sum(ex, axis=2, keepdims=True), axis=1, keepdims=True)
-        return ex / jnp.where(sm == 0.0, 1.0, sm)
-
-    attn = msoftmax(s, kmask)  # zero outside the own block
-    attn_pos = msoftmax(s, kmask & selfm)
-
-    hid_full = _nn(jnp.sum(attn, axis=1), v2)  # (R, D)
+    hid_full = _nn(jnp.sum(attn, axis=1), v_ref[...])  # (R, D)
     hid_rows = jnp.sum(hid_full.reshape(tn, h, d) * seg[None], axis=1)  # (TN, D)
     hid_ref[...] = hid_rows
     ae_ref[...] = _nn(attn_pos.reshape(r, tn * n), e_flat).reshape(tn, h, d)
+
+
+def _bwd_kernel(q_ref, qwp_ref, emb_ref, k_ref, v_ref, mask_ref, ghid_ref,
+                gae_ref, dq_ref, dqwp_ref, demb_ref, dk_ref, dv_ref,
+                *, num_heads):
+    """One-pass backward: recompute the two softmaxes for this row tile
+    (MXU flops are nearly free next to the embedding stream), then produce
+    every gradient with plain matmuls. dk/dv accumulate across grid steps
+    in a revisited VMEM block (the TPU grid is sequential). Padded query
+    rows contribute nothing: their ghid/gae blocks are zero, so both
+    softmax VJPs vanish there."""
+    h = num_heads
+    tn, d = q_ref.shape
+    n = k_ref.shape[0]
+    r = tn * h
+    step = pl.program_id(0)
+
+    attn, attn_pos, q_bd, qwp_flat, e_flat, seg, inv = _recompute_attn(
+        q_ref, qwp_ref, emb_ref, k_ref, mask_ref, step, num_heads
+    )
+    k2 = k_ref[...]
+    v2 = v_ref[...]
+
+    # hidden branch: hid_full = (sum_j attn) @ v2, head-collapsed by seg
+    ghid_bd = (ghid_ref[...][:, None, :] * seg[None]).reshape(r, d)  # (R, D)
+    gae_flat = gae_ref[...].reshape(r, d)  # (R, D)
+
+    a_sum = jnp.sum(attn, axis=1)  # (R, N)
+    dv_c = _tn_matmul(a_sum, ghid_bd)  # (N, D)
+    d_attn = _nt(ghid_bd, v2)[:, None, :]  # (R, 1, N), identical for every j
+    ds = attn * (
+        d_attn
+        - jnp.sum(jnp.sum(attn * d_attn, axis=2, keepdims=True), axis=1, keepdims=True)
+    )
+
+    # positional branch: ae = attn_pos @ e
+    ap_flat = attn_pos.reshape(r, tn * n)
+    demb_f = _tn_matmul(ap_flat, gae_flat)  # (TN*N, D)
+    d_ap = _nt(gae_flat, e_flat).reshape(r, tn, n)
+    ds += attn_pos * (
+        d_ap
+        - jnp.sum(jnp.sum(attn_pos * d_ap, axis=2, keepdims=True), axis=1, keepdims=True)
+    )
+
+    ds = ds * inv  # scores = (sp + se) / sqrt(c)
+    dse = jnp.sum(ds, axis=1)  # (R, N)
+    dq_bd = _nn(dse, k2)  # (R, D)
+    dk_c = _tn_matmul(dse, q_bd)  # (N, D)
+
+    ds_flat = ds.reshape(r, tn * n)
+    dqwp = _nn(ds_flat, e_flat)  # (R, D)
+    demb_f += _tn_matmul(ds_flat, qwp_flat)  # (TN*N, D)
+
+    dq_ref[...] = jnp.sum(dq_bd.reshape(tn, h, d) * seg[None], axis=1)
+    dqwp_ref[...] = dqwp.reshape(tn, h, d)
+    demb_ref[...] = demb_f.reshape(tn, n, d).astype(demb_ref.dtype)
+
+    @pl.when(step == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref[...])
+        dv_ref[...] = jnp.zeros_like(dv_ref[...])
+
+    dk_ref[...] += dk_c
+    dv_ref[...] += dv_c
 
 
 def xla_forward(q2, k2, v2, qwp, embed, key_mask):
@@ -187,6 +276,57 @@ def _pallas_forward(q2, k2, v2, qwp, embed, key_mask, interpret=False):
     return hid[:n], ae[:n]
 
 
+BTN = 8  # backward rows/step (Mosaic needs the sublane block dim % 8 == 0,
+# so the tile cannot shrink below 8 to buy VMEM headroom)
+
+
+def _pallas_backward(q2, k2, v2, qwp, embed, key_mask, ghid, gae, interpret=False):
+    n, d = q2.shape
+    h = qwp.shape[1]
+    pad = (-n) % BTN
+    npad = n + pad
+    if pad:
+        q2p = jnp.pad(q2, ((0, pad), (0, 0)))
+        qwpp = jnp.pad(qwp, ((0, pad), (0, 0), (0, 0)))
+        embp = jnp.pad(embed, ((0, pad), (0, 0), (0, 0)))
+        ghidp = jnp.pad(ghid, ((0, pad), (0, 0)))
+        gaep = jnp.pad(gae, ((0, pad), (0, 0), (0, 0)))
+    else:
+        q2p, qwpp, embp, ghidp, gaep = q2, qwp, embed, ghid, gae
+    grid = (npad // BTN,)
+    dq, dqwp, demb, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_heads=h),
+        out_shape=(
+            jax.ShapeDtypeStruct((npad, d), jnp.float32),
+            jax.ShapeDtypeStruct((npad, h, d), jnp.float32),
+            jax.ShapeDtypeStruct((npad, n, d), embed.dtype),
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BTN, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BTN, h, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BTN, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BTN, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BTN, h, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BTN, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BTN, h, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BTN, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(q2p, qwpp, embp, k2, v2, key_mask.astype(jnp.float32)[None, :],
+      ghidp, gaep)
+    return dq[:n], dqwp[:n], demb[:n], dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def fused_rpe_self_attention(q2, k2, v2, qwp, embed, key_mask, interpret=False):
     """Fused scores + double masked softmax + value/positional aggregation.
@@ -201,9 +341,11 @@ def _fwd(q2, k2, v2, qwp, embed, key_mask, interpret):
 
 def _bwd(interpret, res, g):
     q2, k2, v2, qwp, embed, key_mask = res
-    _, vjp = jax.vjp(lambda a, b, c, d, e: xla_forward(a, b, c, d, e, key_mask),
-                     q2, k2, v2, qwp, embed)
-    dq2, dk2, dv2, dqwp, dembed = vjp(g)
+    ghid, gae = g
+    dq2, dqwp, dembed, dk2, dv2 = _pallas_backward(
+        q2, k2, v2, qwp, embed, key_mask,
+        ghid.astype(jnp.float32), gae.astype(jnp.float32), interpret=interpret,
+    )
     return dq2, dk2, dv2, dqwp, dembed, None
 
 

@@ -137,11 +137,58 @@ def test_fused_rpe_attention_matches_xla(rng):
                    argnums=(0, 1, 2, 3, 4))(q2, k2, v2, qwp, embed)
     g_x = jax.grad(loss(lambda *a: xla_forward(*a, mask)),
                    argnums=(0, 1, 2, 3, 4))(q2, k2, v2, qwp, embed)
-    # dembed is a bf16 cotangent (matches the stored-embedding dtype):
-    # its ULP is ~4e-3 relative, so the comparison budget must exceed it
-    for a, b in zip(g_p, g_x):
+    # dembed is a bf16 cotangent (matches the stored-embedding dtype). The
+    # XLA path rounds its two einsum contributions to bf16 SEPARATELY and
+    # adds them in bf16; the kernel accumulates in f32 and rounds once —
+    # more accurate, but near-cancelling elements can land a bf16 ULP of
+    # the contribution magnitude apart. Allow that class a small mismatch
+    # fraction bounded in absolute size; everything else must agree tight.
+    for i, (a, b) in enumerate(zip(g_p, g_x)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        if i == 4:  # dembed
+            close = np.isclose(a, b, rtol=1e-2, atol=1e-3)
+            assert close.mean() > 0.995, f"{1 - close.mean():.4%} mismatched"
+            # backstop scaled to the contribution magnitude: the two
+            # pre-rounded halves can each carry an ULP of their own size
+            np.testing.assert_allclose(a, b, atol=8e-3 * max(1.0, np.abs(a).max()))
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-3)
+
+
+def test_rpe_attention_pallas_backward_exact_fp32(rng):
+    """The one-pass Pallas backward kernel == jax.vjp(xla_forward) at f32
+    tolerance when the embedding is stored f32 (no storage-cast rounding):
+    certifies the eight gradient matmuls and both softmax VJPs."""
+    from roitr_tpu.ops.pallas.rpe_attention_kernel import (
+        fused_rpe_self_attention,
+        xla_forward,
+    )
+
+    n, h, d = 13, 4, 64  # n % BTN != 0 exercises the backward padding path
+    q2 = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    k2 = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    qwp = jnp.asarray(rng.randn(n, h, d).astype(np.float32) * 0.3)
+    embed = jnp.asarray(rng.randn(n, n, d).astype(np.float32) * 0.5)
+    mask = np.ones(n, np.float32)
+    mask[11:] = 0.0
+    mask = jnp.asarray(mask)
+
+    hid_ct = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    ae_ct = jnp.asarray(rng.randn(n, h, d).astype(np.float32))
+
+    def run(f):
+        def inner(q2, k2, v2, qwp, embed):
+            hid, ae = f(q2, k2, v2, qwp, embed)
+            return jnp.sum(hid * hid_ct) + jnp.sum(ae * ae_ct)
+
+        return jax.grad(inner, argnums=(0, 1, 2, 3, 4))(q2, k2, v2, qwp, embed)
+
+    g_p = run(lambda *a: fused_rpe_self_attention(*a, mask, True))
+    g_x = run(lambda *a: xla_forward(*a, mask))
+    for name, a, b in zip(("dq", "dk", "dv", "dqwp", "dembed"), g_p, g_x):
         np.testing.assert_allclose(
-            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-2, atol=1e-3
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=name
         )
 
 

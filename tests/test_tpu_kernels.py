@@ -64,6 +64,22 @@ for name, pa, xa in (("hidden", hid_p, hid_x), ("ae", ae_p, ae_x)):
     assert err < 2e-3, f"rpe {name} pallas vs xla on chip: {err:.2e}"
 print("rpe_attention ok")
 
+# 2b. one-pass Pallas backward vs jax.vjp(xla_forward) on chip
+from roitr_tpu.ops.pallas.rpe_attention_kernel import _pallas_backward
+ghid = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.1)
+gae = jnp.asarray(rng.randn(N, HEADS, D).astype(np.float32) * 0.1)
+_, vjp_x = jax.vjp(lambda a, b, c, d, e: xla_forward(a, b, c, d, e, mask),
+                   q2, k2, v2, qwp, embed)
+dq_x, dk_x, dv_x, dqwp_x, demb_x = jax.jit(vjp_x)((ghid, gae))
+dq_p, dqwp_p, demb_p, dk_p, dv_p = jax.jit(lambda *x: _pallas_backward(*x))(
+    q2, k2, v2, qwp, embed, mask, ghid, gae)
+for name, pa, xa in (("dq", dq_p, dq_x), ("dk", dk_p, dk_x), ("dv", dv_p, dv_x),
+                     ("dqwp", dqwp_p, dqwp_x), ("dembed", demb_p, demb_x)):
+    pa, xa = np.asarray(pa), np.asarray(xa)
+    err = np.max(np.abs(pa - xa)) / (np.max(np.abs(xa)) + 1e-30)
+    assert err < 2e-3, f"rpe bwd {name} pallas vs xla on chip: {err:.2e}"
+print("rpe_attention backward ok")
+
 # bf16-store variant of the embedding input (the production default)
 hid_pb, ae_pb = jax.jit(lambda *x: fused_rpe_self_attention(*x))(
     q2, k2, v2, qwp, embed.astype(jnp.bfloat16), mask)

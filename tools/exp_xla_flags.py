@@ -1,58 +1,64 @@
-"""XLA flag sweep for the 32k inference wall-vs-device gap.
+"""XLA compiler-option sweep for the 32k inference wall-vs-device gap.
 
 PERFORMANCE.md: ~8-10 ms of the 52.9 ms 32k forward is gather-DMA stall
-the default schedule cannot hide. This sweeps scheduler/async-related XLA
-flags in SUBPROCESSES (XLA_FLAGS is read at backend init, so each
-configuration needs a fresh process) and reports pairs/s per flag set.
+the default schedule cannot hide. Client-side XLA_FLAGS do NOT reach the
+compiler on the axon tunnel backend (compilation happens server-side and
+the client rejects unknown TPU flags), but per-compile `compiler_options`
+pass through `.lower().compile()` — so each configuration is one extra
+compile of the same program in one process. The JAX persistent cache keys
+on compile options, so re-runs are warm.
 
 Usage: python tools/exp_xla_flags.py [bucket]
 """
 
 import os
-import subprocess
 import sys
+import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FLAG_SETS = {
-    "baseline": "",
-    "latency_hiding": "--xla_tpu_enable_latency_hiding_scheduler=true",
-    "latency_hiding+mem": (
-        "--xla_tpu_enable_latency_hiding_scheduler=true "
-        "--xla_tpu_memory_limit_slack_fraction=0.95"
-    ),
-    "aggressive_fusion": "--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true",
+OPTION_SETS = {
+    "baseline": {},
+    "latency_hiding": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+    "lhs+slack": {
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+        "xla_tpu_memory_limit_slack_fraction": "0.95",
+    },
+    "all_experimental_sched": {
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+        "xla_tpu_enable_experimental_fusion_cost_model": "true",
+    },
 }
-
-_CHILD = r"""
-import sys, time
-sys.path.insert(0, {repo!r})
-from bench import build_forward, bench_point, setup_cache
-from roitr_tpu.config import Config
-setup_cache()
-cfg = Config(benchmark="3DMatch", sinkhorn_iters=100, host_pyramid=True, knn_method="approx")
-pps = bench_point(*build_forward({bucket}, cfg), 10)
-print(f"RESULT {{pps:.3f}}")
-"""
 
 
 def main():
     bucket = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
-    for name, flags in FLAG_SETS.items():
-        env = dict(os.environ)
-        env["PYTHONPATH"] = REPO + os.pathsep + "/root/.axon_site" + os.pathsep + env.get("PYTHONPATH", "")
-        base = env.get("XLA_FLAGS", "")
-        env["XLA_FLAGS"] = (base + " " + flags).strip()
-        res = subprocess.run(
-            [sys.executable, "-c", _CHILD.format(repo=REPO, bucket=bucket)],
-            env=env, capture_output=True, text=True, timeout=1700,
-        )
-        line = [l for l in res.stdout.splitlines() if l.startswith("RESULT")]
-        if line:
-            print(f"{name:24s} {line[0].split()[1]} pairs/s", flush=True)
-        else:
-            err = (res.stderr or "").strip().splitlines()
-            print(f"{name:24s} FAILED: {err[-1][:120] if err else res.returncode}", flush=True)
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from bench import build_forward, setup_cache
+    from roitr_tpu.config import Config
+
+    setup_cache()
+    cfg = Config(benchmark="3DMatch", sinkhorn_iters=100, host_pyramid=True,
+                 knn_method="approx")
+    fwd, params, pair, fence = build_forward(bucket, cfg)
+    lowered = fwd.lower(params, pair)
+
+    for name, opts in OPTION_SETS.items():
+        try:
+            t0 = time.perf_counter()
+            compiled = lowered.compile(compiler_options=opts or None)
+            compile_s = time.perf_counter() - t0
+            fence(compiled(params, pair))  # warm
+            fence(compiled(params, pair))
+            t0 = time.perf_counter()
+            outs = [compiled(params, pair) for _ in range(iters)]
+            fence(outs[-1])
+            dt = (time.perf_counter() - t0) / iters
+            print(f"{name:28s} {1.0 / dt:8.3f} pairs/s  ({dt * 1e3:.2f} ms, "
+                  f"compile {compile_s:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"{name:28s} FAILED: {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":
