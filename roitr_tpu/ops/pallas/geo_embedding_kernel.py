@@ -18,10 +18,17 @@ e @ W == sin_part @ W[0::2] + cos_part @ W[1::2]). HBM traffic drops to
 the (N^2, hidden) output write + tiny index reads; the matmuls run on the
 MXU at (TILE*k, hidden/2) x (hidden/2, hidden).
 
-Training: a custom VJP recomputes the basis chunk-free in XLA for the
-weight gradients (indices are stop_gradient in the reference, lib wraps
-them in no_grad) — backward cost matches the old forward, forward is ~7x
-cheaper everywhere.
+Training: the VJP is a second Pallas kernel with the same structure. The
+forward (when taken under differentiation) additionally emits the
+max-over-k routing as an int8 (R, H) argmax map — the kernel is
+compute-bound, so the extra write is nearly free — and the backward then
+recomputes only the sin/cos bases per tile and accumulates
+dWd/dWa/db with eight (H/2, TILE) x (TILE, H) transposed matmuls per
+tile: no (R, k, H) basis is ever materialized and no projection is
+recomputed. Indices are stop_gradient as in the reference (lib wraps the
+embedding indices in no_grad). An XLA chunked-scan fallback
+(`_xla_bwd_scan`) remains for CPU/interpret use and as the numerical
+reference.
 """
 
 from __future__ import annotations
@@ -43,8 +50,12 @@ def _div_term(hidden: int) -> np.ndarray:
     )
 
 
+ARGMAX_DTYPE = jnp.int8  # k <= 3 routing indices; 67 MB at R = 512^2
+
+
 def _kernel(d_ref, a_ref, div_ref, wde_ref, wdo_ref, bd_ref,
-            wae_ref, wao_ref, ba_ref, out_ref, *, out_dtype=jnp.float32):
+            wae_ref, wao_ref, ba_ref, out_ref, *amax_ref,
+            out_dtype=jnp.float32):
     # NOTE (measured, v5e): the fp32 dots below run at ~36 TFLOP/s — near
     # the fp32 MXU roofline; this kernel is compute-bound, not HBM-bound.
     # Casting the operands to bf16 changes nothing: this Mosaic version
@@ -59,7 +70,7 @@ def _kernel(d_ref, a_ref, div_ref, wde_ref, wdo_ref, bd_ref,
         + jnp.dot(jnp.cos(om), wdo_ref[...], preferred_element_type=jnp.float32)
     )
     k = a_ref.shape[1]
-    acc = None
+    acc = arg = None
     for kk in range(k):
         a = a_ref[:, kk]
         om = a[:, None] * div[None, :]
@@ -67,17 +78,26 @@ def _kernel(d_ref, a_ref, div_ref, wde_ref, wdo_ref, bd_ref,
             jnp.dot(jnp.sin(om), wae_ref[...], preferred_element_type=jnp.float32)
             + jnp.dot(jnp.cos(om), wao_ref[...], preferred_element_type=jnp.float32)
         )
-        acc = ya if acc is None else jnp.maximum(acc, ya)
+        if acc is None:
+            acc = ya
+            arg = jnp.zeros(ya.shape, jnp.int32)
+        else:
+            # strict > keeps the first max on ties — same routing as
+            # jnp.argmax in the backward reference
+            arg = jnp.where(ya > acc, kk, arg)
+            acc = jnp.maximum(acc, ya)
     out = y + acc + bd_ref[0, :][None, :] + ba_ref[0, :][None, :]
     # emit the consumer's storage dtype directly (bf16 when the global
     # transformer stores the embedding bf16) — a separate XLA convert of
     # the (N*N, H) tensor costs a measured 0.6 ms per cloud at N=512
     out_ref[...] = out.astype(out_dtype)
+    if amax_ref:  # under differentiation: emit the max-over-k routing map
+        amax_ref[0][...] = arg.astype(ARGMAX_DTYPE)
 
 
 def _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=False,
-                    out_dtype=jnp.float32):
-    """d_idx (R,), a_idx (R, k) -> (R, H)."""
+                    out_dtype=jnp.float32, with_argmax=False):
+    """d_idx (R,), a_idx (R, k) -> (R, H) [, (R, H) int8 argmax map]."""
     r, k = a_idx.shape
     hidden = wd.shape[1]
     div = jnp.asarray(_div_term(hidden))[None, :]  # (1, H/2)
@@ -87,9 +107,16 @@ def _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=False,
         a_idx = jnp.pad(a_idx, ((0, pad), (0, 0)))
     rp = d_idx.shape[0]
     grid = (rp // TILE,)
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((rp, hidden), out_dtype)]
+    out_specs = [pl.BlockSpec((TILE, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    if with_argmax:
+        out_shape.append(jax.ShapeDtypeStruct((rp, hidden), ARGMAX_DTYPE))
+        out_specs.append(
+            pl.BlockSpec((TILE, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+    res = pl.pallas_call(
         functools.partial(_kernel, out_dtype=out_dtype),
-        out_shape=jax.ShapeDtypeStruct((rp, hidden), out_dtype),
+        out_shape=tuple(out_shape),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -102,14 +129,16 @@ def _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=False,
             pl.BlockSpec((hidden // 2, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(
         d_idx[:, None], a_idx, div,
         wd[0::2], wd[1::2], bd[None, :],
         wa[0::2], wa[1::2], ba[None, :],
     )
-    return out[:r]
+    if with_argmax:
+        return res[0][:r], res[1][:r]
+    return res[0][:r]
 
 
 def _xla_basis(x, hidden):
@@ -125,6 +154,94 @@ def _xla_forward(d_idx, a_idx, wd, bd, wa, ba):
     return y + jnp.max(ya, axis=-2) + ba
 
 
+def _bwd_kernel(d_ref, a_ref, amax_ref, g_ref, div_ref,
+                dwde_ref, dwdo_ref, dwae_ref, dwao_ref, dbd_ref):
+    """Per tile: recompute sin/cos bases (elementwise, no projection) and
+    accumulate the weight gradients with transposed matmuls. The argmax
+    map routes each (row, column) element's cotangent to the winning k.
+    Output blocks are revisited every grid step (sequential on TPU)."""
+    step = pl.program_id(0)
+    div = div_ref[0, :]  # (H/2,)
+    g = g_ref[...].astype(jnp.float32)  # (T, H)
+
+    def tmm(a, b):  # (T, X) x (T, Y) -> (X, Y), contracting rows
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    om = d_ref[:, 0][:, None] * div[None, :]  # (T, H/2)
+    dwde_c = tmm(jnp.sin(om), g)
+    dwdo_c = tmm(jnp.cos(om), g)
+
+    k = a_ref.shape[1]
+    amax = amax_ref[...].astype(jnp.int32)  # (T, H)
+    dwae_c = dwao_c = None
+    for kk in range(k):
+        gk = jnp.where(amax == kk, g, 0.0)  # (T, H)
+        om = a_ref[:, kk][:, None] * div[None, :]
+        ce = tmm(jnp.sin(om), gk)
+        co = tmm(jnp.cos(om), gk)
+        dwae_c = ce if dwae_c is None else dwae_c + ce
+        dwao_c = co if dwao_c is None else dwao_c + co
+
+    dbd_c = jnp.sum(g, axis=0, keepdims=True)  # (1, H)
+
+    @pl.when(step == 0)
+    def _init():
+        dwde_ref[...] = jnp.zeros_like(dwde_ref[...])
+        dwdo_ref[...] = jnp.zeros_like(dwdo_ref[...])
+        dwae_ref[...] = jnp.zeros_like(dwae_ref[...])
+        dwao_ref[...] = jnp.zeros_like(dwao_ref[...])
+        dbd_ref[...] = jnp.zeros_like(dbd_ref[...])
+
+    dwde_ref[...] += dwde_c
+    dwdo_ref[...] += dwdo_c
+    dwae_ref[...] += dwae_c
+    dwao_ref[...] += dwao_c
+    dbd_ref[...] += dbd_c
+
+
+def _pallas_backward(d_idx, a_idx, amax, g, hidden, interpret=False):
+    """Returns (dwd (H, H), dbd (H,), dwa (H, H)); dba == dbd."""
+    r, k = a_idx.shape
+    div = jnp.asarray(_div_term(hidden))[None, :]
+    pad = (-r) % TILE
+    if pad:
+        d_idx = jnp.pad(d_idx, (0, pad))
+        a_idx = jnp.pad(a_idx, ((0, pad), (0, 0)))
+        amax = jnp.pad(amax, ((0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0)))  # zero cotangent on pad rows
+    rp = d_idx.shape[0]
+    grid = (rp // TILE,)
+    h2 = hidden // 2
+    wspec = pl.BlockSpec((h2, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dwde, dwdo, dwae, dwao, dbd = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((h2, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((h2, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((h2, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((h2, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(wspec, wspec, wspec, wspec,
+                   pl.BlockSpec((1, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(d_idx[:, None], a_idx, amax, g, div)
+    # re-interleave the even/odd row split: wd[0::2] = dwde, wd[1::2] = dwdo
+    dwd = jnp.stack([dwde, dwdo], axis=1).reshape(hidden, hidden)
+    dwa = jnp.stack([dwae, dwao], axis=1).reshape(hidden, hidden)
+    return dwd, dbd[0], dwa
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_geo_embedding(d_idx, a_idx, wd, bd, wa, ba, interpret=False,
                         out_dtype=jnp.float32):
@@ -136,26 +253,36 @@ def fused_geo_embedding(d_idx, a_idx, wd, bd, wa, ba, interpret=False,
 
 
 def _fwd(d_idx, a_idx, wd, bd, wa, ba, interpret, out_dtype):
-    out = _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=interpret,
-                          out_dtype=out_dtype)
-    return out, (d_idx, a_idx, wd, wa)
+    out, amax = _pallas_forward(d_idx, a_idx, wd, bd, wa, ba,
+                                interpret=interpret, out_dtype=out_dtype,
+                                with_argmax=True)
+    return out, (d_idx, a_idx, amax, wd.shape[1])
+
+
+def _bwd(interpret, out_dtype, res, g):
+    d_idx, a_idx, amax, hidden = res
+    dwd, dbd, dwa = _pallas_backward(
+        d_idx, a_idx, amax, g, hidden, interpret=interpret
+    )
+    return (None, None, dwd, dbd, dwa, dbd)
+
+
+fused_geo_embedding.defvjp(_fwd, _bwd)
 
 
 _BWD_CHUNK = 8192
 
 
-def _bwd(interpret, out_dtype, res, g):
-    """Weight grads by chunked recompute: the whole-R rematerialized basis
-    e_a is (R, k, H) fp32 — 800 MB at N=512 (R = N^2) — the training
-    peak-memory driver. A lax.scan over row chunks accumulates dwd/dwa
-    with a 25 MB transient instead; padding rows carry zero cotangent so
-    they contribute nothing."""
-    d_idx, a_idx, wd, wa = res
-    g = g.astype(jnp.float32)  # weight grads stay fp32 whatever the store
+def _xla_bwd_scan(d_idx, a_idx, wd, wa, g):
+    """XLA chunked-recompute weight grads (the previous VJP; kept as the
+    numerical reference for the backward kernel and a CPU fallback). The
+    whole-R rematerialized basis e_a would be (R, k, H) fp32 — 800 MB at
+    N=512 (R = N^2); the scan keeps a 25 MB transient."""
+    g = g.astype(jnp.float32)
     hidden = wd.shape[1]
     k = a_idx.shape[1]
     r = d_idx.shape[0]
-    dbd = dba = g.sum(0)
+    dbd = g.sum(0)
 
     pad = (-r) % _BWD_CHUNK
     if pad:
@@ -174,7 +301,6 @@ def _bwd(interpret, out_dtype, res, g):
         d, a, gg = xs
         e_d = _xla_basis(d, hidden)  # (C, H)
         dwd = dwd + e_d.T @ gg
-        # max-over-k routing: recompute per-k projections to find the argmax
         e_a = _xla_basis(a, hidden)  # (C, k, H)
         ya = e_a @ wa
         sel = jax.nn.one_hot(jnp.argmax(ya, axis=-2), k, axis=-2, dtype=gg.dtype)
@@ -184,7 +310,4 @@ def _bwd(interpret, out_dtype, res, g):
     (dwd, dwa), _ = jax.lax.scan(
         step, (jnp.zeros_like(wd), jnp.zeros_like(wa)), chunks
     )
-    return (None, None, dwd, dbd, dwa, dba)
-
-
-fused_geo_embedding.defvjp(_fwd, _bwd)
+    return dwd, dbd, dwa, dbd

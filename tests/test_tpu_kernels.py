@@ -43,6 +43,20 @@ err = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-30)
 assert err < 1e-5, f"geo_embedding pallas vs xla on chip: {err:.2e}"
 print(f"geo_embedding ok ({err:.1e})")
 
+# 1b. geo-embedding Pallas backward (argmax-routed) vs the XLA scan oracle
+from roitr_tpu.ops.pallas.geo_embedding_kernel import (
+    _pallas_backward as geo_bwd, _xla_bwd_scan as geo_bwd_xla)
+g_ct = jnp.asarray(rng.randn(R, H).astype(np.float32) * 0.1)
+_, amax = jax.jit(lambda *x: geo_pallas(*x, with_argmax=True))(
+    d_idx, a_idx, wd, bd, wa, ba)
+dwd_p, dbd_p, dwa_p = jax.jit(lambda *x: geo_bwd(*x, H))(d_idx, a_idx, amax, g_ct)
+dwd_x, dbd_x, dwa_x, _ = jax.jit(lambda *x: geo_bwd_xla(*x))(d_idx, a_idx, wd, wa, g_ct)
+for name, pa, xa in (("dwd", dwd_p, dwd_x), ("dbd", dbd_p, dbd_x), ("dwa", dwa_p, dwa_x)):
+    pa, xa = np.asarray(pa), np.asarray(xa)
+    close = np.isclose(pa, xa, rtol=2e-3, atol=2e-3 * np.abs(xa).max())
+    assert close.mean() > 0.995, f"geo bwd {name}: {1 - close.mean():.4%} mismatched"
+print("geo_embedding backward ok")
+
 # 2. fused RPE self-attention at the minimum lane-aligned node count
 from roitr_tpu.ops.pallas.rpe_attention_kernel import (
     fused_rpe_self_attention, supported_n, xla_forward)
