@@ -49,6 +49,8 @@ def _device_fps_pyramids(src_points, src_count, tgt_points, tgt_count, strides):
 
     from roitr_tpu.data.pyramid import CloudPyramid
 
+    from roitr_tpu.ops.pallas import fps_kernel
+
     pts = jnp.stack([jnp.asarray(src_points), jnp.asarray(tgt_points)])
     cnt = jnp.stack([jnp.asarray(src_count), jnp.asarray(tgt_count)])
     fps_fields = {0: {}, 1: {}}
@@ -56,7 +58,12 @@ def _device_fps_pyramids(src_points, src_count, tgt_points, tgt_count, strides):
         if stride == 1:
             continue
         m = pts.shape[1] // stride
-        idx = jax.vmap(furthest_point_sampling, in_axes=(0, 0, None))(pts, cnt, m)
+        if jax.default_backend() == "tpu" and fps_kernel.supported_n(pts.shape[1]):
+            # whole FPS chain on-core: the XLA loop pays ~us-scale while-loop
+            # overhead per pick (ops/pallas/fps_kernel.py docstring)
+            idx = fps_kernel.fps_pairs(pts, cnt, m)
+        else:
+            idx = jax.vmap(furthest_point_sampling, in_axes=(0, 0, None))(pts, cnt, m)
         for c in (0, 1):
             fps_fields[c][f"fps_idx{lvl + 1}"] = idx[c]
         pts = jnp.take_along_axis(pts, idx[:, :, None], axis=1)

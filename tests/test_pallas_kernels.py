@@ -155,6 +155,28 @@ def test_fused_rpe_attention_matches_xla(rng):
             np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-3)
 
 
+def test_fps_kernel_matches_xla_loop(rng):
+    """On-core FPS kernel (interpret mode) == the XLA fori_loop version,
+    bit-exact indices, incl. padded lanes and a cloud with fewer valid
+    points than requested samples (seed-repeat semantics)."""
+    from roitr_tpu.ops.fps import furthest_point_sampling
+    from roitr_tpu.ops.pallas.fps_kernel import fps_pairs
+
+    n, m = 256, 64
+    pts = rng.randn(2, n, 3).astype(np.float32)
+    counts = np.array([n, 40], np.int32)  # cloud 1: 40 valid < 64 samples
+    pts[1, 40:] = 37.0  # garbage in the padded tail must never be picked
+
+    ref = np.stack([
+        np.asarray(furthest_point_sampling(jnp.asarray(pts[c]), counts[c], m))
+        for c in (0, 1)
+    ])
+    got = np.asarray(fps_pairs(jnp.asarray(pts), jnp.asarray(counts), m,
+                               interpret=True))
+    np.testing.assert_array_equal(got, ref)
+    assert (got[1] < 40).all()
+
+
 def test_rpe_attention_pallas_backward_exact_fp32(rng):
     """The one-pass Pallas backward kernel == jax.vjp(xla_forward) at f32
     tolerance when the embedding is stored f32 (no storage-cast rounding):

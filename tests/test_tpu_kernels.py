@@ -101,6 +101,19 @@ err = float(np.max(np.abs(np.asarray(hid_pb) - np.asarray(hid_x))))
 assert np.isfinite(err) and err < 0.1, f"bf16-store rpe diverged: {err}"
 print("rpe_attention bf16-store ok")
 
+# 4. on-core FPS vs the XLA fori_loop (bit-exact indices)
+from roitr_tpu.ops.fps import furthest_point_sampling
+from roitr_tpu.ops.pallas.fps_kernel import fps_pairs
+pts = rng.randn(2, 1024, 3).astype(np.float32)
+cnts = np.array([1024, 900], np.int32)
+ref_idx = np.stack([
+    np.asarray(jax.jit(lambda p, c: furthest_point_sampling(p, c, 256))(
+        jnp.asarray(pts[c]), cnts[c])) for c in (0, 1)])
+got_idx = np.asarray(jax.jit(lambda p, c: fps_pairs(p, c, 256))(
+    jnp.asarray(pts), jnp.asarray(cnts)))
+assert (got_idx == ref_idx).all(), f"fps mismatch: {(got_idx != ref_idx).sum()} idx"
+print("fps ok")
+
 # 3. fused Sinkhorn vs the XLA scan
 from roitr_tpu.ops.sinkhorn import log_sinkhorn_ot
 scores = jnp.asarray(rng.randn(8, 32, 32).astype(np.float32))
