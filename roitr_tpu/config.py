@@ -89,9 +89,10 @@ class Config:
     fine_matching_use_global_score: bool = False
     fine_matching_correspondence_threshold: int = 3
     sinkhorn_iters: int = 100
-    # "xla" (default: scan, differentiable, slightly faster at default
-    # shapes) or "pallas" (fused VMEM kernel, inference only)
-    sinkhorn_backend: str = "xla"
+    # "pallas" (default: fused lane-major VMEM kernel, 1.8 vs 4.5 ms at
+    # the (256, 65, 65) x 100 reference shape, exact to ~7e-6, inference
+    # only — training always takes the differentiable XLA scan) or "xla"
+    sinkhorn_backend: str = "pallas"
     # > 0 enables convergence early-exit for *inference*: stop once the
     # max row-potential update falls below tol (still capped at
     # sinkhorn_iters). 0.0 = fixed-count iteration, exact reference parity

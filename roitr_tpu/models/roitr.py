@@ -273,10 +273,11 @@ class RoITr(nn.Module):
         out["src_node_corr_knn_masks"] = src_knn_masks
         out["tgt_node_corr_knn_masks"] = tgt_knn_masks
 
-        # ---- 5. optimal transport (reference :150-153). The fused Pallas
-        # kernel is opt-in (cfg.sinkhorn_backend="pallas", inference only —
-        # no VJP): measured on v5e the XLA scan already keeps the (P,65,65)
-        # tensor on-chip and wins slightly (3.1 vs 4.1 ms / 100 iters).
+        # ---- 5. optimal transport (reference :150-153). Inference takes
+        # the fused lane-major Pallas kernel by default (1.8 vs 4.5 ms at
+        # (256, 65, 65) x 100 on v5e, exact to ~7e-6 — the OT stage is
+        # >50% of the 2k-bucket forward); training keeps the
+        # differentiable XLA scan (the kernel defines no VJP).
         use_pallas = (
             (not train)
             and cfg.sinkhorn_backend == "pallas"
