@@ -30,6 +30,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 GROUP_SIZE = 128  # patches per grid step, on the lane dimension
+_VMEM_LIMIT = 32 * 1024 * 1024  # raised scoped-vmem budget (v5e has headroom)
+
+
+def supported_shape(m1: int, n1: int) -> bool:
+    """The kernel holds the (M1, N1, G) score block plus ~4 same-sized loop
+    temps in VMEM. Default shapes (65, 65) use ~11M of the 32M budget;
+    refuse anything that would not fit so callers fall back to the XLA
+    scan instead of failing at compile time."""
+    per_block = m1 * n1 * GROUP_SIZE * 4
+    return 6 * per_block <= _VMEM_LIMIT
 
 
 def _sinkhorn_kernel(num_iter: int, scores_ref, mu_ref, nu_ref, out_ref):
@@ -92,6 +102,6 @@ def sinkhorn_iterate_pallas(
         input_output_aliases={0: 0},
         # the loop body's (M1, N1, G) temps put the kernel stack 637K over
         # the default 16M scoped-vmem limit at G=128; v5e has headroom
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(scores_t, mu_t, nu_t)
     return jnp.transpose(out, (2, 0, 1))[:p]

@@ -75,10 +75,16 @@ def log_sinkhorn_ot(
                 "use backend='xla' for the convergence early-exit",
                 stacklevel=2,
             )
-        from roitr_tpu.ops.pallas.sinkhorn_kernel import sinkhorn_iterate_pallas
+        from roitr_tpu.ops.pallas.sinkhorn_kernel import (
+            sinkhorn_iterate_pallas,
+            supported_shape,
+        )
 
-        out = sinkhorn_iterate_pallas(padded, log_mu, log_nu, num_iter)
-        return out - norm[:, None, None]
+        if supported_shape(m + 1, n + 1):
+            out = sinkhorn_iterate_pallas(padded, log_mu, log_nu, num_iter)
+            return out - norm[:, None, None]
+        # oversized patches would blow the kernel's VMEM budget — fall
+        # through to the XLA scan (default shapes are (65, 65), far below)
 
     if tol > 0.0:
         # Convergence early-exit (inference only: while_loop has no

@@ -38,6 +38,20 @@ def test_pallas_sinkhorn_matches_xla(rng, monkeypatch):
     np.testing.assert_allclose(got[valid], ref[valid], rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_sinkhorn_oversized_falls_back(rng):
+    """Patch shapes whose VMEM block set exceeds the kernel budget must
+    route to the XLA scan instead of failing at compile time."""
+    from roitr_tpu.ops.pallas.sinkhorn_kernel import supported_shape
+
+    assert supported_shape(65, 65) and not supported_shape(129, 129)
+    b, m, n = 2, 128, 128  # (129, 129) padded -> over budget
+    scores = jnp.asarray(rng.randn(b, m, n).astype(np.float32))
+    masks = jnp.ones((b, m), bool)
+    out = log_sinkhorn_ot(scores, masks, jnp.ones((b, n), bool),
+                          jnp.float32(1.0), num_iter=5, backend="pallas")
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_fused_geo_embedding_matches_xla(rng):
     """Pallas (interpret mode on CPU) fused sin-basis+proj+max == the XLA
     path, forward and weight gradients (custom VJP)."""
