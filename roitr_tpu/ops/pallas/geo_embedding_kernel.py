@@ -26,9 +26,12 @@ recomputes only the sin/cos bases per tile and accumulates
 dWd/dWa/db with eight (H/2, TILE) x (TILE, H) transposed matmuls per
 tile: no (R, k, H) basis is ever materialized and no projection is
 recomputed. Indices are stop_gradient as in the reference (lib wraps the
-embedding indices in no_grad). An XLA chunked-scan fallback
-(`_xla_bwd_scan`) remains for CPU/interpret use and as the numerical
-reference.
+embedding indices in no_grad). `_xla_bwd_scan` below is the retained
+numerical ORACLE for the backward kernel (the on-chip gate compares
+against it) — it is not wired into any product path: on CPU the embedding
+module routes to its XLA formulation before this kernel is ever entered,
+and interpret-mode differentiation uses the Pallas backward in interpret
+mode too.
 """
 
 from __future__ import annotations

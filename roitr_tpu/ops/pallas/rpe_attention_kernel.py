@@ -75,7 +75,8 @@ def _msoftmax(scores, m):
 
 def _recompute_attn(q_ref, qwp_ref, emb_ref, k_ref, mask_ref, step, num_heads):
     """Shared forward score/softmax recompute for both kernels. Returns
-    (attn, attn_pos, q_bd, qwp_flat, e_flat) for a TN-row grid step."""
+    (attn, attn_pos, q_bd, qwp_flat, e_flat, seg, inv) for a row-tile
+    grid step."""
     h = num_heads
     tn, d = q_ref.shape
     c = d // h

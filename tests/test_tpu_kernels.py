@@ -104,14 +104,21 @@ print("rpe_attention bf16-store ok")
 # 4. on-core FPS vs the XLA fori_loop (bit-exact indices)
 from roitr_tpu.ops.fps import furthest_point_sampling
 from roitr_tpu.ops.pallas.fps_kernel import fps_pairs
-pts = rng.randn(2, 1024, 3).astype(np.float32)
-cnts = np.array([1024, 900], np.int32)
-ref_idx = np.stack([
-    np.asarray(jax.jit(lambda p, c: furthest_point_sampling(p, c, 256))(
-        jnp.asarray(pts[c]), cnts[c])) for c in (0, 1)])
-got_idx = np.asarray(jax.jit(lambda p, c: fps_pairs(p, c, 256))(
-    jnp.asarray(pts), jnp.asarray(cnts)))
-assert (got_idx == ref_idx).all(), f"fps mismatch: {(got_idx != ref_idx).sum()} idx"
+# (1024 -> 256) plus the SMALLEST production shapes: level-3 of the 2048
+# bucket samples m=32 from N=128 — the (2, 32) output block's minor dim is
+# far below the 128-lane tile (legal: equal to the full array dim) and
+# index correctness there must be proven on real hardware, not inferred
+# from the bench run's finiteness
+for n_fps, m_fps, c1 in ((1024, 256, 900), (128, 32, 100), (128, 64, 23)):
+    pts = rng.randn(2, n_fps, 3).astype(np.float32)
+    cnts = np.array([n_fps, c1], np.int32)
+    ref_idx = np.stack([
+        np.asarray(jax.jit(lambda p, c, m=m_fps: furthest_point_sampling(p, c, m))(
+            jnp.asarray(pts[c]), cnts[c])) for c in (0, 1)])
+    got_idx = np.asarray(jax.jit(lambda p, c, m=m_fps: fps_pairs(p, c, m))(
+        jnp.asarray(pts), jnp.asarray(cnts)))
+    assert (got_idx == ref_idx).all(), \
+        f"fps mismatch at (N={n_fps}, m={m_fps}): {(got_idx != ref_idx).sum()} idx"
 print("fps ok")
 
 # 3. fused Sinkhorn vs the XLA scan

@@ -8,7 +8,7 @@ pass through `.lower().compile()` — so each configuration is one extra
 compile of the same program in one process. The JAX persistent cache keys
 on compile options, so re-runs are warm.
 
-Usage: python tools/exp_xla_flags.py [bucket]
+Usage: python tools/exp_xla_flags.py [bucket] [iters]
 """
 
 import os
