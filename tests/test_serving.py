@@ -100,3 +100,33 @@ def test_match_accepts_provided_normals(matcher):
     tn = np.tile(np.array([[0, 0, 1]], np.float32), (70, 1))
     out = matcher.match(src, tgt, src_normals=sn, tgt_normals=tn)
     assert np.isfinite(out["confidence"]).all()
+
+
+def test_pytree_packing_round_trip():
+    """pack_host -> unpack_device must be lossless for f32/i32/bool leaves
+    (ints ride the f32 carrier as bitcasts; the serving path depends on
+    exact index round-trips)."""
+    import jax
+    import numpy as np
+
+    from roitr_tpu.utils.packing import build_spec, pack_host, unpack_device
+
+    rng = np.random.RandomState(3)
+    tree = {
+        "pts": rng.randn(17, 3).astype(np.float32),
+        "idx": rng.randint(-(2**30), 2**30, size=(5, 4)).astype(np.int32),
+        "cnt": np.int64(12345),
+        "mask": rng.rand(9) > 0.5,
+        "nested": (np.float32(2.5), rng.randint(0, 7, (3,)).astype(np.int32)),
+    }
+    treedef, spec, total = build_spec(tree)
+    packed = pack_host(tree, spec, total)
+    assert packed.dtype == np.float32 and packed.shape == (total,)
+    out = jax.jit(lambda p: unpack_device(p, treedef, spec))(packed)
+    flat_in = jax.tree_util.tree_leaves(tree)
+    flat_out = jax.tree_util.tree_leaves(out)
+    for a, b in zip(flat_in, flat_out):
+        a = np.asarray(a)
+        if a.dtype == np.int64:
+            a = a.astype(np.int32)
+        np.testing.assert_array_equal(np.asarray(b), a)
