@@ -51,13 +51,13 @@ def setup_cache():
     enable_persistent_cache("/root/repo/.jax_cache")
 
 
-def make_inputs(bucket, cfg):
+def make_inputs(bucket, cfg, seed=0):
     import jax.numpy as jnp
 
     from roitr_tpu.data.pyramid import build_cloud_pyramid
     from roitr_tpu.data.synthetic import make_pair_inputs
 
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     pair = make_pair_inputs(rng, bucket, bucket - 128, bucket - 256)
     if cfg.host_pyramid:
         src_pyr = build_cloud_pyramid(
@@ -104,6 +104,70 @@ def bench_point(fwd, params, pair, fence, iters):
     outs = [fwd(params, pair) for _ in range(iters)]
     fence(outs[-1])
     dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt
+
+
+def bench_packed(bucket, cfg, batch, iters):
+    """Packed-batch inference (B same-bucket pairs as one flat cloud)."""
+    import jax
+
+    from roitr_tpu.data.packing import pack_pairs
+    from roitr_tpu.models.roitr import RoITr
+
+    pairs = [make_inputs(bucket, cfg, seed=100 + i) for i in range(batch)]
+    packed = jax.tree_util.tree_map(jax.numpy.asarray, pack_pairs(pairs))
+    model = RoITr(cfg)
+    params = jax.jit(
+        lambda p: model.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+            p, train=False)
+    )(pairs[0])["params"]
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False))
+
+    def fence(out):
+        return float(out["matching_scores"].sum())
+
+    fence(fwd(params, packed))  # compile
+    fence(fwd(params, packed))  # warm
+    t0 = time.perf_counter()
+    outs = [fwd(params, packed) for _ in range(iters)]
+    fence(outs[-1])
+    dt = (time.perf_counter() - t0) / (iters * batch)
+    return 1.0 / dt
+
+
+def bench_map(bucket, cfg, batch, iters):
+    """lax.map program batching: B pairs per dispatch, sequential on device.
+    Amortizes per-call dispatch (and is immune to host load); the best mode
+    at the 2048 bucket where packed batching's head section doesn't pay."""
+    import jax
+
+    from roitr_tpu.data.synthetic import stack_pairs
+    from roitr_tpu.models.roitr import RoITr
+
+    pairs = [make_inputs(bucket, cfg, seed=300 + i) for i in range(batch)]
+    stacked = jax.tree_util.tree_map(jax.numpy.asarray, stack_pairs(pairs))
+    model = RoITr(cfg)
+    params = jax.jit(
+        lambda p: model.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+            p, train=False)
+    )(pairs[0])["params"]
+
+    @jax.jit
+    def fwd(p, xb):
+        return jax.lax.map(
+            lambda x: model.apply({"params": p}, x, train=False)["matching_scores"],
+            xb,
+        )
+
+    fence = lambda o: float(o.sum())
+    fence(fwd(params, stacked))  # compile
+    fence(fwd(params, stacked))  # warm
+    t0 = time.perf_counter()
+    outs = [fwd(params, stacked) for _ in range(iters)]
+    fence(outs[-1])
+    dt = (time.perf_counter() - t0) / (iters * batch)
     return 1.0 / dt
 
 
@@ -203,6 +267,28 @@ def main():
             "vs_baseline": round(pps / ASSUMED_BASELINE[bucket], 3),
             "ms_per_pair": round(1e3 / pps, 2),
         })
+
+    # batched serving modes (the reference is locked to batch 1):
+    # lax.map program batching at 2048 (dispatch amortization) and packed
+    # flat-cloud batching at 512 (amortizes the whole small-bucket fixed
+    # pool — tools/probe_{small_buckets,packed}.py, PERFORMANCE.md)
+    for tag, fn, bucket, b, iters in (
+        ("n2048_map16", bench_map, 2048, 16, 3),
+        ("n512_packed16", bench_packed, 512, 16, 4),
+    ):
+        try:
+            pps = fn(bucket, Config(benchmark="3DMatch", **prod), b, iters)
+            emit({
+                "metric": f"inference_pairs_per_sec_{tag}",
+                "value": round(pps, 3),
+                "unit": "pairs/sec",
+                "vs_baseline": round(pps / ASSUMED_BASELINE[bucket], 3)
+                if bucket in ASSUMED_BASELINE else None,
+                "ms_per_pair": round(1e3 / pps, 2),
+            })
+        except Exception as e:
+            emit({"metric": f"inference_pairs_per_sec_{tag}", "value": 0.0,
+                  "unit": "pairs/sec", "vs_baseline": None, "error": str(e)[:200]})
 
     # training throughput (no published reference number -> vs_baseline null)
     for bucket, iters in ((2048, 8), (32768, 4)):

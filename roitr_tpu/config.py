@@ -144,6 +144,11 @@ class Config:
     # ---- parallelism ----
     # number of data-parallel shards; None = all local devices
     dp_size: Optional[int] = None
+    # batch_size > 1 pairs per device as ONE packed flat cloud
+    # (data/packing.py) instead of a vmapped stack — amortizes the fixed
+    # pool that dominates small buckets (tools/probe_small_buckets.py).
+    # Requires host_pyramid. The reference cannot batch at all.
+    packed_batch: bool = False
 
     @property
     def channel_factor(self) -> int:

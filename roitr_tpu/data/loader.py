@@ -65,20 +65,38 @@ def stack_batch(items: List[PairInputs]) -> PairInputs:
 class BucketBatcher:
     """Groups same-bucket pairs into batches; flushes ragged remainders by
     repeating the last pair (masked duplicates are harmless for eval and
-    negligible for training)."""
+    negligible for training).
 
-    def __init__(self, batch_size: int):
+    With pack > 1, every `pack` consecutive pairs are packed into ONE flat
+    packed PairInputs (data/packing.py) before stacking — batch_size must
+    then be a multiple of pack (batch_size // pack packed batches per step,
+    one per data-parallel shard)."""
+
+    def __init__(self, batch_size: int, pack: int = 0):
+        if pack and batch_size % pack != 0:
+            raise ValueError(f"batch_size {batch_size} not a multiple of pack {pack}")
         self.batch_size = batch_size
+        self.pack = pack
         self._pending: Dict[int, List[PairInputs]] = {}
+
+    def _emit(self, pend: List[PairInputs]) -> PairInputs:
+        if self.pack and self.pack > 1:
+            from roitr_tpu.data.packing import pack_pairs
+
+            packed = [
+                pack_pairs(pend[i : i + self.pack])
+                for i in range(0, len(pend), self.pack)
+            ]
+            return stack_batch(packed)
+        return stack_batch(pend)
 
     def add(self, pair: PairInputs) -> Optional[PairInputs]:
         bucket = pair.src_points.shape[0]
         pend = self._pending.setdefault(bucket, [])
         pend.append(pair)
         if len(pend) == self.batch_size:
-            batch = stack_batch(pend)
             self._pending[bucket] = []
-            return batch
+            return self._emit(pend)
         return None
 
     def flush(self) -> List[PairInputs]:
@@ -87,7 +105,7 @@ class BucketBatcher:
             if pend:
                 while len(pend) < self.batch_size:
                     pend.append(pend[-1])
-                out.append(stack_batch(pend))
+                out.append(self._emit(pend))
         self._pending = {}
         return out
 
@@ -102,11 +120,14 @@ def iterate_batches(
     max_items: Optional[int] = None,
     prefetch: int = 2,
     num_workers: int = 0,
+    pack: int = 0,
 ) -> Iterator[PairInputs]:
     """Yield stacked PairInputs batches, prefetched on a background thread.
 
     num_workers > 0 preprocesses items in that many forked worker processes
-    (ordered imap, chunksize 1); 0 keeps everything in this process."""
+    (ordered imap, chunksize 1); 0 keeps everything in this process.
+    pack > 1 packs every `pack` pairs into one flat packed batch before
+    stacking (see BucketBatcher)."""
     indices = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(indices)
@@ -127,7 +148,7 @@ def iterate_batches(
     stop = threading.Event()
 
     def worker():
-        batcher = BucketBatcher(batch_size)
+        batcher = BucketBatcher(batch_size, pack=pack)
         try:
             for item in items:
                 if stop.is_set():

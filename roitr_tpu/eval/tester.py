@@ -137,21 +137,44 @@ class Tester:
         n = len(self.dataset)
         t_total = 0.0
         pool, items = self._items(n)
-        if self.dp > 1:
+        # packed batching: cfg.packed_batch groups batch_size same-bucket
+        # pairs into ONE flat packed program per mesh shard (data/packing.py)
+        pack = max(int(getattr(self.cfg, "batch_size", 1) or 1), 1) \
+            if getattr(self.cfg, "packed_batch", False) else 1
+        if pack > 1 and not self.cfg.host_pyramid:
+            raise ValueError("packed_batch requires host_pyramid")
+        if self.dp > 1 or pack > 1:
+            from roitr_tpu.data.packing import pack_pairs
             from roitr_tpu.data.synthetic import stack_pairs
 
+            group_size = self.dp * pack
             pending: Dict[int, list] = {}  # bucket -> [(idx, item, pair)]
 
             def run_group(group):
                 nonlocal t_total
                 real = len(group)
-                while len(group) < self.dp:  # pad tail by repeating the last
+                while len(group) < group_size:  # pad tail by repeating the last
                     group = group + [group[-1]]
-                batch = stack_pairs([g[2] for g in group])
+                pairs = [g[2] for g in group]
+                if pack > 1:
+                    shards = [
+                        pack_pairs(pairs[i : i + pack])
+                        for i in range(0, group_size, pack)
+                    ]
+                else:
+                    shards = pairs
                 t0 = time.perf_counter()
-                with self.mesh:
-                    outs = self._fwd_sharded(self.params, batch)
-                outs = jax.tree_util.tree_map(np.asarray, outs)  # fence
+                if self.dp > 1:
+                    batch = stack_pairs(shards)
+                    with self.mesh:
+                        outs = self._fwd_sharded(self.params, batch)
+                    outs = jax.tree_util.tree_map(np.asarray, outs)  # fence
+                    if pack > 1:  # (D, B, ...) -> flat pair-major (D*B, ...)
+                        outs = jax.tree_util.tree_map(
+                            lambda a: a.reshape((-1,) + a.shape[2:]), outs)
+                else:
+                    outs = self._fwd(self.params, shards[0])
+                    outs = jax.tree_util.tree_map(np.asarray, outs)
                 t_total += time.perf_counter() - t0
                 for i, (idx, item, pair) in enumerate(group[:real]):
                     self._dump(idx, item, pair,
@@ -161,7 +184,7 @@ class Tester:
                 pair = dict_to_pair(item)
                 bucket = pair.src_points.shape[0]
                 pending.setdefault(bucket, []).append((idx, item, pair))
-                if len(pending[bucket]) == self.dp:
+                if len(pending[bucket]) == group_size:
                     run_group(pending.pop(bucket))
             for group in pending.values():
                 if group:

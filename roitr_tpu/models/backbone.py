@@ -21,8 +21,14 @@ import jax.numpy as jnp
 from roitr_tpu.models.attention import LocalPPFTransformer
 from roitr_tpu.models.transformer import GeometricTransformer
 from roitr_tpu.ops.fps import furthest_point_sampling
-from roitr_tpu.ops.geometry import calc_ppf, prefix_mask
+from roitr_tpu.ops.geometry import calc_ppf, index_valid, prefix_mask
 from roitr_tpu.ops.neighbors import masked_knn, three_nn_interpolate
+
+
+def _is_packed(count) -> bool:
+    """Packed-batch mode (data/packing.py): count is a (B,) vector and every
+    point array is B aligned per-pair segments concatenated flat."""
+    return jnp.ndim(count) == 1
 
 
 class Level(NamedTuple):
@@ -93,9 +99,11 @@ def _self_neighborhood(points, normals, count, nsample, self_idx=None, method="e
     if self_idx is not None:
         group_idx = self_idx
     else:
+        if _is_packed(count):
+            raise ValueError("packed batches require host-precomputed kNN indices")
         group_idx, _ = masked_knn(points, points, count, nsample,
                                   exclude_self=True, method=method)
-    neighbor_mask = group_idx < count
+    neighbor_mask = index_valid(group_idx, count, points.shape[0])
     ppf = calc_ppf(points, normals, *_gather_pn(points, normals, group_idx))
     return group_idx, ppf, neighbor_mask
 
@@ -120,7 +128,12 @@ class TransitionDown(nn.Module):
         n = points.shape[0]
         if self.stride != 1:
             m = n // self.stride
-            idx = fps_idx if fps_idx is not None else furthest_point_sampling(points, count, m)
+            if fps_idx is not None:
+                idx = fps_idx
+            elif _is_packed(count):
+                raise ValueError("packed batches require host-precomputed FPS indices")
+            else:
+                idx = furthest_point_sampling(points, count, m)
             new_count = jnp.maximum(count // self.stride, 1)
             new_points, new_normals = _gather_pn(points, normals, idx)
         else:
@@ -131,10 +144,12 @@ class TransitionDown(nn.Module):
 
         if cross_idx is not None:
             group_idx = cross_idx
+        elif _is_packed(count):
+            raise ValueError("packed batches require host-precomputed kNN indices")
         else:
             group_idx, _ = masked_knn(new_points, points, count, self.nsample,
                                       exclude_self=True, method=self.knn_method)
-        neighbor_mask = group_idx < count
+        neighbor_mask = index_valid(group_idx, count, n)
         ppf = calc_ppf(new_points, new_normals, *_gather_pn(points, normals, group_idx))
 
         cls = nn.remat(LocalPPFTransformer) if self.remat else LocalPPFTransformer
@@ -185,13 +200,21 @@ class TransitionUpHead(nn.Module):
     @nn.compact
     def __call__(self, feats, count):
         mask = prefix_mask(feats.shape[0], count)[:, None]
-        denom = jnp.maximum(count, 1).astype(jnp.float32)
-        pooled = (
-            jnp.sum(jnp.where(mask, feats, 0.0).astype(jnp.float32), axis=0, keepdims=True)
-            / denom
-        ).astype(feats.dtype)
-        g = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="linear2")(pooled))
-        x = jnp.concatenate([feats, jnp.broadcast_to(g, feats.shape)], axis=-1)
+        masked = jnp.where(mask, feats, 0.0).astype(jnp.float32)
+        if _is_packed(count):
+            # per-pair global pooling over the aligned segments
+            b = count.shape[0]
+            seg = feats.shape[0] // b
+            denom = jnp.maximum(count, 1).astype(jnp.float32)[:, None]
+            pooled = (masked.reshape(b, seg, -1).sum(axis=1) / denom).astype(feats.dtype)
+            g = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="linear2")(pooled))
+            g = jnp.repeat(g, seg, axis=0)  # (B*seg, dim)
+        else:
+            denom = jnp.maximum(count, 1).astype(jnp.float32)
+            pooled = (masked.sum(axis=0, keepdims=True) / denom).astype(feats.dtype)
+            g = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="linear2")(pooled))
+            g = jnp.broadcast_to(g, (feats.shape[0], g.shape[-1]))
+        x = jnp.concatenate([feats, g], axis=-1)
         x = nn.Dense(self.dim, dtype=self.dtype, name="linear1")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         return nn.relu(x)
@@ -358,8 +381,10 @@ class RIPointTransformer(nn.Module):
         # the attention gathers was measured 4.7x SLOWER at 16k (XLA lowers
         # batched neighborhood gathers poorly), so the encoder itself stays
         # sequential per cloud (matching the reference, model.py:195-204).
+        packed = _is_packed(src_count)
         if (
-            src_pyramid is None
+            not packed
+            and src_pyramid is None
             and tgt_pyramid is None
             and src_points.shape == tgt_points.shape
         ):
@@ -372,16 +397,50 @@ class RIPointTransformer(nn.Module):
 
         s_mask4 = prefix_mask(s4.points.shape[0], s4.count)
         t_mask4 = prefix_mask(t4.points.shape[0], t4.count)
-        s_gx4, t_gx4 = self.global_transformer(
-            s4.points,
-            t4.points,
-            s4.feats,
-            t4.feats,
-            ref_count=s4.count,
-            src_count=t4.count,
-            ref_masks=s_mask4,
-            src_masks=t_mask4,
-        )
+        if packed:
+            # per-pair coarse transformer: the aligned segments make the
+            # (B, m4, ...) views free reshapes; the transformer itself is
+            # dense (embedding + einsum attention), so a lifted vmap with
+            # shared params is the right batching here — the 4.7x-slower
+            # vmapped-gather pathology only applies to the point levels.
+            b = src_count.shape[0]
+            m4 = s4.points.shape[0] // b
+            n4 = t4.points.shape[0] // b
+            per_pair = lambda mdl, rp, sp, rf, sf, rc, sc, rm, sm: mdl(
+                rp, sp, rf, sf, ref_count=rc, src_count=sc,
+                ref_masks=rm, src_masks=sm,
+            )
+            vmapped = nn.vmap(
+                per_pair,
+                in_axes=(0, 0, 0, 0, 0, 0, 0, 0),
+                out_axes=0,
+                variable_axes={"params": None},
+                split_rngs={"params": False},
+            )
+            s_gx4, t_gx4 = vmapped(
+                self.global_transformer,
+                s4.points.reshape(b, m4, 3),
+                t4.points.reshape(b, n4, 3),
+                s4.feats.reshape(b, m4, -1),
+                t4.feats.reshape(b, n4, -1),
+                s4.count,
+                t4.count,
+                s_mask4.reshape(b, m4),
+                t_mask4.reshape(b, n4),
+            )
+            s_gx4 = s_gx4.reshape(b * m4, -1)
+            t_gx4 = t_gx4.reshape(b * n4, -1)
+        else:
+            s_gx4, t_gx4 = self.global_transformer(
+                s4.points,
+                t4.points,
+                s4.feats,
+                t4.feats,
+                ref_count=s4.count,
+                src_count=t4.count,
+                ref_masks=s_mask4,
+                src_masks=t_mask4,
+            )
 
         s_x1, _, _, _ = self.decode(s_levels, src_pyramid)
         t_x1, _, _, _ = self.decode(t_levels, tgt_pyramid)

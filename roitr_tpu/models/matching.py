@@ -203,9 +203,13 @@ def fine_matching(
     si = flat_idx % kk
     valid = top_scores > 0.0
 
-    batch = jnp.arange(p, dtype=jnp.int32)[:, None]
-    ref_pts = ref_knn_points[batch, ri]  # (P, cap, 3)
-    src_pts = src_knn_points[batch, si]
+    # flat row gathers, NOT ref_knn_points[batch, ri]: the two-index gather
+    # lowers as a slow custom fusion whose cost grows with the table size
+    # (profiled 2.26 ms per gather at the packed (2048, 192) shape vs
+    # ~0.4 ms flat; tools/profile_hlo.py 2048 packed)
+    base = jnp.arange(p, dtype=jnp.int32)[:, None] * kk
+    ref_pts = ref_knn_points.reshape(p * kk, 3)[base + ri]  # (P, cap, 3)
+    src_pts = src_knn_points.reshape(p * kk, 3)[base + si]
     return FineCorr(
         ref_pts.reshape(-1, 3),
         src_pts.reshape(-1, 3),

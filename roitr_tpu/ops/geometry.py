@@ -15,8 +15,32 @@ _INF = 1e10
 
 
 def prefix_mask(n: int, count) -> jnp.ndarray:
-    """Boolean validity mask for a prefix-packed axis of static length n."""
+    """Boolean validity mask for a prefix-packed axis of static length n.
+
+    `count` may be a (B,) vector for a packed batch (data/packing.py): the
+    axis is then B aligned segments of n // B rows, each prefix-packed with
+    its own count, and the returned mask is still flat (n,).
+    """
+    count = jnp.asarray(count)
+    if count.ndim == 1:
+        b = count.shape[0]
+        seg = n // b
+        return (jnp.arange(seg, dtype=jnp.int32)[None, :] < count[:, None]).reshape(n)
     return jnp.arange(n, dtype=jnp.int32) < count
+
+
+def index_valid(idx: jnp.ndarray, count, level_size: int) -> jnp.ndarray:
+    """Validity of row indices into a prefix-packed axis of `level_size` rows.
+
+    Scalar `count`: idx < count. Vector (B,) `count` (packed batch): the axis
+    is B segments of level_size // B rows; an index is valid iff its offset
+    within its segment is below that segment's count.
+    """
+    count = jnp.asarray(count)
+    if count.ndim == 1:
+        seg = level_size // count.shape[0]
+        return (idx % seg) < count[idx // seg]
+    return idx < count
 
 
 def pairwise_sq_dist(x: jnp.ndarray, y: jnp.ndarray, normalized: bool = False) -> jnp.ndarray:

@@ -88,6 +88,16 @@ def make_train_step(
 
     def single_loss(params, pair: PairInputs, rng):
         out = model.apply({"params": params}, pair, train=True, rngs={"sampling": rng})
+        if jnp.ndim(pair.src_count) == 1:
+            # packed batch (data/packing.py): every output has a leading
+            # per-pair axis; losses/metrics are per-pair, averaged here
+            def lm(o, r, t):
+                losses = overall_loss(cfg, o, r, t)
+                metrics = evaluate(cfg, o, r, t)
+                return losses["loss"], {**losses, **metrics}
+
+            loss_b, metrics_b = jax.vmap(lm)(out, pair.rot, pair.trans)
+            return jnp.mean(loss_b), jax.tree_util.tree_map(jnp.mean, metrics_b)
         losses = overall_loss(cfg, out, pair.rot, pair.trans)
         metrics = evaluate(cfg, out, pair.rot, pair.trans)
         return losses["loss"], {**losses, **metrics}
@@ -130,6 +140,11 @@ def make_eval_step(cfg: Config, model: RoITr):
 
     def single(params, pair: PairInputs):
         out = model.apply({"params": params}, pair, train=False)
+        if jnp.ndim(pair.src_count) == 1:  # packed batch: per-pair means
+            lm = lambda o, r, t: {**overall_loss(cfg, o, r, t), **evaluate(cfg, o, r, t)}
+            return jax.tree_util.tree_map(
+                jnp.mean, jax.vmap(lm)(out, pair.rot, pair.trans)
+            )
         losses = overall_loss(cfg, out, pair.rot, pair.trans)
         metrics = evaluate(cfg, out, pair.rot, pair.trans)
         return {**losses, **metrics}

@@ -77,6 +77,38 @@ class Matcher:
         self._fwd_by_bucket[bucket] = entry
         return entry
 
+    def _get_batch_fwd(self, bucket, batch_size, packed_pair):
+        """Jitted packed-batch program for (bucket, batch_size). The B pairs
+        run as ONE flat cloud (data/packing.py) — amortizes the ~2.2 ms
+        fixed pool that dominates small buckets AND the per-call dispatch."""
+        key = (bucket, batch_size)
+        if key in self._fwd_by_bucket:
+            return self._fwd_by_bucket[key]
+        import jax
+        import jax.numpy as jnp
+
+        from roitr_tpu.utils.packing import build_spec, unpack_device
+
+        treedef, spec, total = build_spec(packed_pair)
+
+        def run(p, packed):
+            x = unpack_device(packed, treedef, spec)
+            out = self.model.apply({"params": p}, x, train=False, with_gt=False)
+            corr = jnp.concatenate(
+                [
+                    out["src_corr_points"],
+                    out["tgt_corr_points"],
+                    out["corr_scores"][..., None],
+                    out["corr_masks"].astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )  # (B, C, 8)
+            return (corr, out) if self.descriptors else corr
+
+        entry = (jax.jit(run), spec, total)
+        self._fwd_by_bucket[key] = entry
+        return entry
+
     @classmethod
     def from_checkpoint(cls, path: str, cfg: Config, **kw) -> "Matcher":
         from roitr_tpu.train.checkpoint import load_checkpoint
@@ -197,3 +229,64 @@ class Matcher:
                 tgt_point_desc=out["tgt_point_feats"][:tc],
             )
         return res
+
+    def match_batch(
+        self,
+        pairs: Sequence,  # [(src_pcd, tgt_pcd) or (src, tgt, src_normals, tgt_normals)]
+        batch_size: int = 8,
+    ):
+        """Predict correspondences for many pairs, packed-batched.
+
+        Same-bucket pairs are grouped into packed batches of up to
+        `batch_size` and each batch runs as ONE program over ONE flat cloud
+        per side — the fixed pool that dominates small buckets (half the
+        N=2048 runtime) is paid once per batch instead of once per pair.
+        Requires cfg.host_pyramid (the packed path needs precomputed
+        FPS/kNN indices; it is the production default).
+
+        Returns a list of per-pair dicts in input order, same keys as
+        match() (without descriptors)."""
+        if not self.cfg.host_pyramid:
+            raise ValueError("match_batch requires cfg.host_pyramid=True")
+        from roitr_tpu.data.packing import pack_pairs
+        from roitr_tpu.utils.packing import pack_host
+
+        prepared = []
+        for item in pairs:
+            src, tgt = item[0], item[1]
+            sn = item[2] if len(item) > 2 else None
+            tn = item[3] if len(item) > 3 else None
+            prepared.append(
+                self._prepare(
+                    np.ascontiguousarray(src, np.float32),
+                    np.ascontiguousarray(tgt, np.float32),
+                    sn, tn,
+                )
+            )
+
+        by_bucket: Dict[int, list] = {}
+        for i, pair in enumerate(prepared):
+            by_bucket.setdefault(int(pair.src_points.shape[0]), []).append(i)
+
+        results: Dict[int, Dict[str, np.ndarray]] = {}
+        for bucket, idxs in by_bucket.items():
+            for s in range(0, len(idxs), batch_size):
+                group = idxs[s : s + batch_size]
+                real = len(group)
+                # ragged tail: repeat the last pair (per-pair outputs are
+                # independent; the duplicates are simply not returned)
+                padded_group = group + [group[-1]] * (batch_size - real) \
+                    if real < batch_size and len(idxs) >= batch_size else group
+                packed = pack_pairs([prepared[i] for i in padded_group])
+                fwd, spec, total = self._get_batch_fwd(
+                    bucket, len(padded_group), packed)
+                result = fwd(self.params, pack_host(packed, spec, total))
+                corr = np.asarray(result[0] if self.descriptors else result)
+                for j, i in enumerate(group[:real]):
+                    cmask = corr[j, :, 7] > 0.5
+                    results[i] = {
+                        "src_corr_pts": corr[j, cmask, 0:3],
+                        "tgt_corr_pts": corr[j, cmask, 3:6],
+                        "confidence": corr[j, cmask, 6],
+                    }
+        return [results[i] for i in range(len(prepared))]

@@ -42,6 +42,8 @@ class Trainer:
 
         enable_persistent_cache()
         self.cfg = cfg
+        if cfg.packed_batch and not cfg.host_pyramid:
+            raise ValueError("packed_batch requires host_pyramid (data/packing.py)")
         self.snapshot_dir = os.path.join("snapshot", cfg.exp_dir)
         self.ckpt_dir = os.path.join(self.snapshot_dir, "checkpoints")
         self.is_main = jax.process_index() == 0
@@ -113,6 +115,7 @@ class Trainer:
             max_items=cfg.training_max_iter,
             # more workers than host cores is pure IPC overhead
             num_workers=min(cfg.num_workers, os.cpu_count() or 1),
+            pack=cfg.batch_size if cfg.packed_batch else 0,
         )
         for it, batch in enumerate(batches):
             timer.tic()
@@ -121,7 +124,7 @@ class Trainer:
                 self.state, metrics = self._train_step(self.state, batch, rng)
             metrics = {k: float(v) for k, v in metrics.items()}
             timer.toc()
-            meters.update(metrics, n=batch.src_points.shape[0])
+            meters.update(metrics, n=int(np.prod(batch.rot.shape[:-2])))
             if self.is_main and cfg.verbose and (it + 1) % cfg.verbose_freq == 0:
                 self._log(
                     f"epoch {epoch} iter {it + 1}: {meters.summary()}, "
@@ -146,12 +149,13 @@ class Trainer:
             max_items=cfg.val_max_iter,
             # more workers than host cores is pure IPC overhead
             num_workers=min(cfg.num_workers, os.cpu_count() or 1),
+            pack=cfg.batch_size if cfg.packed_batch else 0,
         )
         for batch in batches:
             batch = shard_batch(self.mesh, batch)
             with self.mesh:
                 metrics = self._eval_step(self.state.params, batch)
-            meters.update({k: float(v) for k, v in metrics.items()}, n=batch.src_points.shape[0])
+            meters.update({k: float(v) for k, v in metrics.items()}, n=int(np.prod(batch.rot.shape[:-2])))
         avgs = meters.averages()
         if self.is_main:
             self._log(f"epoch {epoch} val: {meters.summary()}\n")

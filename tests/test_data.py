@@ -298,3 +298,41 @@ def test_loader_worker_pool_throughput():
     assert n == 16
     # serial is >= 8.0 s; 4 workers overlap to 2 s of work + worker startup
     assert dt < 6.5, f"pool took {dt:.2f}s for 16x0.5s items with 4 workers"
+
+
+def test_bucket_batcher_pack():
+    """pack>1: every `pack` same-bucket pairs become one flat packed
+    PairInputs; batches stack packed shards (one per mesh shard)."""
+    import jax
+
+    from parity_harness import build_pair_inputs
+    from roitr_tpu.config import Config
+    from roitr_tpu.data.loader import BucketBatcher
+    from roitr_tpu.data.synthetic import make_pair_arrays
+    from roitr_tpu.ops.normals import estimate_normals
+    import jax.numpy as jnp
+
+    cfg = Config(host_pyramid=True)
+    rng = np.random.RandomState(0)
+    pairs = []
+    for counts in ((120, 110), (128, 100), (90, 128), (128, 128)):
+        arr = make_pair_arrays(rng, 128, *counts)
+        sn = np.asarray(estimate_normals(jnp.array(arr["src_points"]), arr["src_count"], k=9))
+        tn = np.asarray(estimate_normals(jnp.array(arr["tgt_points"]), arr["tgt_count"], k=9))
+        pairs.append(build_pair_inputs(cfg, arr, sn, tn))
+
+    batcher = BucketBatcher(batch_size=4, pack=2)
+    outs = [batcher.add(p) for p in pairs]
+    assert outs[:3] == [None, None, None] and outs[3] is not None
+    batch = outs[3]
+    # 2 packed shards of 2 pairs each: flat leaves (2, 2*128, 3), counts (2, 2)
+    assert batch.src_points.shape == (2, 2 * 128, 3)
+    assert batch.src_count.shape == (2, 2)
+    assert batch.rot.shape == (2, 2, 3, 3)
+    # second shard's pyramid indices are offset into its own flat cloud
+    assert batch.src_pyramid.self_idx1.shape == (2, 2 * 128, 8)
+
+    # batch_size not divisible by pack is rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        BucketBatcher(batch_size=3, pack=2)

@@ -130,3 +130,47 @@ def test_pytree_packing_round_trip():
         if a.dtype == np.int64:
             a = a.astype(np.int32)
         np.testing.assert_array_equal(np.asarray(b), a)
+
+
+@pytest.fixture(scope="module")
+def pyramid_matcher():
+    """host_pyramid matcher (the production lever and the packed-batch
+    requirement)."""
+    from roitr_tpu.data.synthetic import make_pair_inputs
+    from roitr_tpu.models.roitr import RoITr
+
+    cfg = CFG.replace(host_pyramid=True)
+    rng = np.random.RandomState(0)
+    pair = make_pair_inputs(rng, 128, 120, 112, normal_k=9)
+    model = RoITr(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        pair, train=False,
+    )["params"]
+    return Matcher(cfg, params)
+
+
+def test_match_batch_matches_singles(pyramid_matcher):
+    """Packed match_batch must reproduce per-pair match() results, in input
+    order, across mixed bucket sizes and a ragged tail."""
+    rng = np.random.RandomState(6)
+    pairs = [
+        (rng.rand(117, 3).astype(np.float32), rng.rand(103, 3).astype(np.float32)),
+        (rng.rand(90, 3).astype(np.float32), rng.rand(95, 3).astype(np.float32)),
+        (rng.rand(200, 3).astype(np.float32), rng.rand(60, 3).astype(np.float32)),
+        (rng.rand(110, 3).astype(np.float32), rng.rand(100, 3).astype(np.float32)),
+    ]
+    batched = pyramid_matcher.match_batch(pairs, batch_size=2)
+    assert len(batched) == len(pairs)
+    for (src, tgt), got in zip(pairs, batched):
+        want = pyramid_matcher.match(src, tgt)
+        assert got["src_corr_pts"].shape == want["src_corr_pts"].shape
+        np.testing.assert_allclose(
+            got["src_corr_pts"], want["src_corr_pts"], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            got["confidence"], want["confidence"], rtol=1e-3, atol=1e-5)
+
+
+def test_match_batch_requires_host_pyramid(matcher):
+    with pytest.raises(ValueError):
+        matcher.match_batch([(np.zeros((10, 3), np.float32),) * 2])

@@ -64,6 +64,20 @@ def build():
 
         return (lambda *_: fn()), (), (lambda m: float(m["loss"]))
 
+    if PROGRAM == "packed":
+        from roitr_tpu.data.packing import pack_pairs
+
+        B = 8
+        pairs = [make_inputs(BUCKET, cfg, seed=100 + i) for i in range(B)]
+        packed = jax.tree_util.tree_map(jnp.asarray, pack_pairs(pairs))
+        model = RoITr(cfg)
+        params = jax.jit(lambda p: model.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+            p, train=False))(pairs[0])["params"]
+        fn = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False))
+        fence = lambda o: float(o["matching_scores"].sum())
+        return fn, (params, packed), fence
+
     if PROGRAM == "full":
         model = RoITr(cfg)
         params = jax.jit(lambda p: model.init(
