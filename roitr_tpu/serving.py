@@ -77,11 +77,16 @@ class Matcher:
         self._fwd_by_bucket[bucket] = entry
         return entry
 
-    def _get_batch_fwd(self, bucket, batch_size, packed_pair):
-        """Jitted packed-batch program for (bucket, batch_size). The B pairs
-        run as ONE flat cloud (data/packing.py) — amortizes the ~2.2 ms
-        fixed pool that dominates small buckets AND the per-call dispatch."""
-        key = (bucket, batch_size)
+    def _get_batch_fwd(self, bucket, batch_size, batch_pair, mode):
+        """Jitted batch program for (bucket, batch_size, mode).
+
+        mode "packed": B pairs as ONE flat cloud (data/packing.py) —
+        amortizes the whole small-bucket fixed pool; measured best at
+        buckets <= ~1024 where the gather tables stay cache-resident.
+        mode "map": lax.map over stacked pairs — sequential on device,
+        amortizes only dispatch; measured best at 2048+ (PERFORMANCE.md).
+        """
+        key = (bucket, batch_size, mode)
         if key in self._fwd_by_bucket:
             return self._fwd_by_bucket[key]
         import jax
@@ -89,12 +94,10 @@ class Matcher:
 
         from roitr_tpu.utils.packing import build_spec, unpack_device
 
-        treedef, spec, total = build_spec(packed_pair)
+        treedef, spec, total = build_spec(batch_pair)
 
-        def run(p, packed):
-            x = unpack_device(packed, treedef, spec)
-            out = self.model.apply({"params": p}, x, train=False, with_gt=False)
-            corr = jnp.concatenate(
+        def corr_of(out):
+            return jnp.concatenate(
                 [
                     out["src_corr_points"],
                     out["tgt_corr_points"],
@@ -102,8 +105,19 @@ class Matcher:
                     out["corr_masks"].astype(jnp.float32)[..., None],
                 ],
                 axis=-1,
-            )  # (B, C, 8)
-            return (corr, out) if self.descriptors else corr
+            )
+
+        def run(p, packed):
+            x = unpack_device(packed, treedef, spec)
+            if mode == "map":
+                return jax.lax.map(
+                    lambda px: corr_of(
+                        self.model.apply({"params": p}, px, train=False,
+                                         with_gt=False)),
+                    x,
+                )  # (B, C, 8)
+            out = self.model.apply({"params": p}, x, train=False, with_gt=False)
+            return corr_of(out)  # (B, C, 8)
 
         entry = (jax.jit(run), spec, total)
         self._fwd_by_bucket[key] = entry
@@ -234,20 +248,28 @@ class Matcher:
         self,
         pairs: Sequence,  # [(src_pcd, tgt_pcd) or (src, tgt, src_normals, tgt_normals)]
         batch_size: int = 8,
+        mode: str = "auto",
     ):
-        """Predict correspondences for many pairs, packed-batched.
+        """Predict correspondences for many pairs, batched.
 
-        Same-bucket pairs are grouped into packed batches of up to
-        `batch_size` and each batch runs as ONE program over ONE flat cloud
-        per side — the fixed pool that dominates small buckets (half the
-        N=2048 runtime) is paid once per batch instead of once per pair.
-        Requires cfg.host_pyramid (the packed path needs precomputed
-        FPS/kNN indices; it is the production default).
+        Same-bucket pairs are grouped into batches of up to `batch_size`,
+        each run as ONE program. Two backends (PERFORMANCE.md):
+        - "packed": B pairs as ONE flat cloud — amortizes the whole
+          small-bucket fixed pool (835 pairs/s at 512, 2.3x); pays off
+          while the gather tables stay cache-resident.
+        - "map": lax.map over stacked pairs — dispatch amortization only,
+          the best mode at 2048+ (344 pairs/s at 2048).
+        - "auto" (default): packed for buckets <= 1024, map above.
+        Requires cfg.host_pyramid (the production default; packed needs
+        precomputed FPS/kNN indices).
 
         Returns a list of per-pair dicts in input order, same keys as
         match() (without descriptors)."""
+        if mode not in ("auto", "packed", "map"):
+            raise ValueError(f"unknown match_batch mode {mode!r}")
         if not self.cfg.host_pyramid:
             raise ValueError("match_batch requires cfg.host_pyramid=True")
+        from roitr_tpu.data.loader import stack_batch
         from roitr_tpu.data.packing import pack_pairs
         from roitr_tpu.utils.packing import pack_host
 
@@ -270,6 +292,8 @@ class Matcher:
 
         results: Dict[int, Dict[str, np.ndarray]] = {}
         for bucket, idxs in by_bucket.items():
+            use_mode = mode if mode != "auto" else (
+                "packed" if bucket <= 1024 else "map")
             for s in range(0, len(idxs), batch_size):
                 group = idxs[s : s + batch_size]
                 real = len(group)
@@ -277,11 +301,13 @@ class Matcher:
                 # independent; the duplicates are simply not returned)
                 padded_group = group + [group[-1]] * (batch_size - real) \
                     if real < batch_size and len(idxs) >= batch_size else group
-                packed = pack_pairs([prepared[i] for i in padded_group])
+                group_pairs = [prepared[i] for i in padded_group]
+                batch_pair = (pack_pairs(group_pairs) if use_mode == "packed"
+                              else stack_batch(group_pairs))
                 fwd, spec, total = self._get_batch_fwd(
-                    bucket, len(padded_group), packed)
-                result = fwd(self.params, pack_host(packed, spec, total))
-                corr = np.asarray(result[0] if self.descriptors else result)
+                    bucket, len(padded_group), batch_pair, use_mode)
+                corr = np.asarray(
+                    fwd(self.params, pack_host(batch_pair, spec, total)))
                 for j, i in enumerate(group[:real]):
                     cmask = corr[j, :, 7] > 0.5
                     results[i] = {

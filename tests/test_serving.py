@@ -174,3 +174,21 @@ def test_match_batch_matches_singles(pyramid_matcher):
 def test_match_batch_requires_host_pyramid(matcher):
     with pytest.raises(ValueError):
         matcher.match_batch([(np.zeros((10, 3), np.float32),) * 2])
+
+
+def test_match_batch_map_mode(pyramid_matcher):
+    """mode='map' (lax.map program batching, the 2048+ default) must match
+    per-pair match() results too."""
+    rng = np.random.RandomState(7)
+    pairs = [
+        (rng.rand(100, 3).astype(np.float32), rng.rand(96, 3).astype(np.float32)),
+        (rng.rand(118, 3).astype(np.float32), rng.rand(120, 3).astype(np.float32)),
+    ]
+    batched = pyramid_matcher.match_batch(pairs, batch_size=2, mode="map")
+    for (src, tgt), got in zip(pairs, batched):
+        want = pyramid_matcher.match(src, tgt)
+        assert got["src_corr_pts"].shape == want["src_corr_pts"].shape
+        np.testing.assert_allclose(
+            got["src_corr_pts"], want["src_corr_pts"], rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError):
+        pyramid_matcher.match_batch(pairs, mode="bogus")
