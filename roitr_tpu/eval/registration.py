@@ -20,6 +20,21 @@ from roitr_tpu.eval.ransac import (
     get_inlier_ratio_correspondence,
     ransac_pose_estimation_correspondences,
 )
+
+
+def _ransac_fn(backend: str):
+    """'numpy' (default, reference-protocol parity on any host) or 'jax'
+    (same semantics, all 50k hypotheses in one jitted program — the fast
+    path on a TPU/accelerator host; eval/ransac_jax.py)."""
+    if backend == "numpy":
+        return ransac_pose_estimation_correspondences
+    if backend == "jax":
+        from roitr_tpu.eval.ransac_jax import (
+            ransac_pose_estimation_correspondences_jax,
+        )
+
+        return ransac_pose_estimation_correspondences_jax
+    raise ValueError(f"unknown ransac backend {backend!r}")
 from roitr_tpu.eval.trajectory import read_trajectory, write_est_trajectory
 
 
@@ -93,9 +108,11 @@ def benchmark_registration(
     inlier_ratio_threshold: float = 0.05,
     seed: int = 0,
     ransac_iterations: int = 50000,
+    ransac_backend: str = "numpy",
 ) -> Dict[str, float]:
     """Full protocol: sample -> RANSAC -> IR -> Redwood RR -> FMR
     (reference evaluate_registration_c2f.py:44-118)."""
+    ransac_fn = _ransac_fn(ransac_backend)
     if gt_folder is None:
         gt_folder = resolve_gt_folder(whichbenchmark)
     out_dir = os.path.join(exp_dir, whichbenchmark, str(n_points))
@@ -109,7 +126,7 @@ def benchmark_registration(
             rng, data["src_corr_pts"], data["tgt_corr_pts"], data["confidence"], n_points
         )
         tsfm_est.append(
-            ransac_pose_estimation_correspondences(
+            ransac_fn(
                 src_corr, tgt_corr, max_iterations=ransac_iterations, seed=seed
             )
         )
@@ -154,6 +171,7 @@ def benchmark_registration_rotated(
     inlier_ratio_threshold: float = 0.05,
     seed: int = 0,
     ransac_iterations: int = 50000,
+    ransac_backend: str = "numpy",
 ) -> Dict[str, float]:
     """Rotated-benchmark protocol: RMSE-based registration recall computed
     directly against the per-pair GT (reference
@@ -170,7 +188,7 @@ def benchmark_registration_rotated(
         src_corr, tgt_corr, conf = sample_correspondences(
             rng, data["src_corr_pts"], data["tgt_corr_pts"], data["confidence"], n_points
         )
-        tsfm = ransac_pose_estimation_correspondences(
+        tsfm = _ransac_fn(ransac_backend)(
             src_corr, tgt_corr, max_iterations=ransac_iterations, seed=seed
         )
         inlier_ratios.append(
@@ -208,16 +226,20 @@ def main():
     parser.add_argument("--exp_dir", default="est_traj")
     parser.add_argument("--rotated", action="store_true")
     parser.add_argument("--gt_folder", default=None)
+    parser.add_argument(
+        "--ransac_backend", default="numpy", choices=("numpy", "jax"),
+        help="'jax' runs all hypotheses in one jitted program (TPU fast path)")
     args = parser.parse_args()
 
     if args.rotated:
         res = benchmark_registration_rotated(
-            args.source_path, args.exp_dir, args.benchmark, args.n_points
+            args.source_path, args.exp_dir, args.benchmark, args.n_points,
+            ransac_backend=args.ransac_backend,
         )
     else:
         res = benchmark_registration(
             args.source_path, args.exp_dir, args.benchmark, args.n_points,
-            gt_folder=args.gt_folder,
+            gt_folder=args.gt_folder, ransac_backend=args.ransac_backend,
         )
     for k, v in res.items():
         print(f"{k}: {v:.4f}")

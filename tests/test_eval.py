@@ -277,3 +277,40 @@ def test_ransac_confidence_early_termination(rng):
 
     np.testing.assert_allclose(early, full, atol=1e-6)
     assert t_early < t_full * 0.5, (t_early, t_full)
+
+
+def test_ransac_jax_backend_matches_numpy():
+    """The jitted RANSAC (eval/ransac_jax.py) must agree with the numpy
+    backend: same hypothesis stream (host-sampled indices, same RandomState
+    protocol), Horn-quaternion rotations instead of SVD, identical final
+    fp64 refinement. Transforms agree to ~1e-3 and both recover the GT."""
+    from roitr_tpu.eval.ransac import ransac_pose_estimation_correspondences
+    from roitr_tpu.eval.ransac_jax import (
+        ransac_pose_estimation_correspondences_jax,
+    )
+
+    rng = np.random.RandomState(0)
+    n = 700
+    src = rng.randn(n, 3)
+    q, _ = np.linalg.qr(rng.randn(3, 3))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    t_gt = rng.randn(3) * 0.5
+    tgt = src @ q.T + t_gt + rng.randn(n, 3) * 0.005
+    out_idx = rng.permutation(n)[: n // 3]
+    tgt[out_idx] += rng.randn(len(out_idx), 3) * 2.0
+
+    T_np = ransac_pose_estimation_correspondences(
+        src, tgt, max_iterations=8192, seed=3)
+    T_jx = ransac_pose_estimation_correspondences_jax(
+        src, tgt, max_iterations=8192, seed=3)
+    np.testing.assert_allclose(T_jx, T_np, atol=5e-3)
+    for T in (T_np, T_jx):
+        r_err = np.degrees(np.arccos(np.clip(
+            (np.trace(T[:3, :3] @ q.T) - 1) / 2, -1, 1)))
+        assert r_err < 0.1
+        assert np.linalg.norm(T[:3, 3] - t_gt) < 0.01
+
+    # degenerate: too few correspondences -> identity, like the numpy path
+    T = ransac_pose_estimation_correspondences_jax(src[:2], tgt[:2])
+    np.testing.assert_array_equal(T, np.eye(4))
