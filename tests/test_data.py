@@ -151,6 +151,34 @@ def test_all_shipped_configs_load():
         assert all(b % 64 == 0 for b in cfg.buckets)
 
 
+def test_vendored_test_splits_resolve(tmp_path, monkeypatch):
+    """Test mode must load the published benchmark split out of the box
+    (reference dataset/dataloader.py:18 reads configs/tdmatch/<benchmark>.pkl,
+    shipped with the reference; vendored here under configs/tdmatch/) —
+    from ANY working directory."""
+    from roitr_tpu.config import load_config
+    from roitr_tpu.data import resolve_info_path
+
+    monkeypatch.chdir(tmp_path)  # no configs/ in CWD -> vendored copy wins
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for benchmark, n_pairs in (("3DMatch", 1623), ("3DLoMatch", 1781)):
+        cfg = load_config(os.path.join(repo, "configs", "test", "tdmatch.yaml"))
+        cfg = cfg.replace(benchmark=benchmark)
+        ds = get_dataset(cfg, "test")
+        assert len(ds) == n_pairs
+        assert not ds.data_augmentation
+    # val split resolves too (configs point at configs/tdmatch/val_info.pkl)
+    val = get_dataset(cfg, "val")
+    assert len(val) > 0
+    # a CWD-relative user file still wins over the vendored copy
+    rel = os.path.join("configs", "tdmatch", "3DMatch.pkl")
+    os.makedirs(os.path.dirname(rel))
+    with open(rel, "wb") as f:
+        pickle.dump({"rot": [], "trans": [], "src": [], "tgt": [], "overlap": []}, f)
+    assert resolve_info_path(rel) == rel
+    assert len(get_dataset(cfg.replace(benchmark="3DMatch"), "test")) == 0
+
+
 def test_patch_helpers(rng):
     from roitr_tpu.data.patches import (
         ball_query_patches,
