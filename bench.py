@@ -311,6 +311,47 @@ def main():
                   "unit": "steps/sec", "vs_baseline": None,
                   "error": str(e)[:200]})
 
+    # offline-eval RANSAC: full 50k-hypothesis budget at 5k correspondences
+    # in one jitted program (eval/ransac_jax.py). vs_baseline here is
+    # MEASURED, not assumed: the numpy host backend timed at 2048
+    # hypotheses and scaled linearly to 50k (RANSAC cost is linear in the
+    # hypothesis count; full-budget host run measured 59.2 s once,
+    # PERFORMANCE.md — too slow to re-run every bench).
+    try:
+        from roitr_tpu.eval.ransac import ransac_pose_estimation_correspondences
+        from roitr_tpu.eval.ransac_jax import (
+            ransac_pose_estimation_correspondences_jax,
+        )
+
+        rng = np.random.RandomState(0)
+        src = rng.randn(5000, 3)
+        rot = np.linalg.qr(rng.randn(3, 3))[0]
+        rot *= np.sign(np.linalg.det(rot))
+        tgt = src @ rot.T + rng.randn(3) * 0.5 + rng.randn(5000, 3) * 0.005
+        tgt[rng.permutation(5000)[:2500]] += rng.randn(2500, 3) * 2.0
+
+        ransac_pose_estimation_correspondences_jax(src, tgt, seed=0)  # compile
+        t0 = time.perf_counter()
+        for s in (1, 2, 3):
+            ransac_pose_estimation_correspondences_jax(src, tgt, seed=s)
+        t_jax = (time.perf_counter() - t0) / 3
+        t0 = time.perf_counter()
+        ransac_pose_estimation_correspondences(
+            src, tgt, max_iterations=2048, seed=1, confidence=None)
+        t_np = (time.perf_counter() - t0) * (50000 / 2048)
+        emit({
+            "metric": "offline_ransac_pairs_per_sec_50k_hyp_5k_corr",
+            "value": round(1.0 / t_jax, 3),
+            "unit": "pairs/sec",
+            "vs_baseline": round(t_np / t_jax, 1),
+            "ms_per_pair": round(t_jax * 1e3, 2),
+            "baseline": "numpy host backend, measured at 2048 hypotheses, scaled linearly",
+        })
+    except Exception as e:
+        emit({"metric": "offline_ransac_pairs_per_sec_50k_hyp_5k_corr",
+              "value": 0.0, "unit": "pairs/sec", "vs_baseline": None,
+              "error": str(e)[:200]})
+
     # headline point last: 32k production inference (+ device utilization)
     cfg = Config(benchmark="3DMatch", **prod)
     fwd, params, pair, fence = build_forward(32768, cfg)

@@ -56,6 +56,9 @@ class Config:
     root: str = "data/indoor"
     train_info: str = ""
     val_info: str = ""
+    # test-split override (extension): empty -> the reference's resolution,
+    # configs/tdmatch/<benchmark>.pkl (dataset/dataloader.py:18; vendored)
+    test_info: str = ""
     augment_noise: float = 0.005
     rotated: bool = False
     points_limit: int = 30000

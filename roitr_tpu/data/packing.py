@@ -80,9 +80,17 @@ def pack_pairs(pairs: Sequence["PairInputs"]) -> "PairInputs":
     """
     from roitr_tpu.models.roitr import PairInputs
 
-    buckets = {np.asarray(p.src_points).shape[0] for p in pairs}
+    # the packed forward derives the per-pair segment size as
+    # len(flat)/B on BOTH sides, so src AND tgt of every pair must share
+    # one bucket (preprocess.py pads both sides of a pair to the same
+    # bucket, but nothing downstream would catch a violation — it would
+    # silently mix pairs' points within segments)
+    buckets = {
+        np.asarray(p.src_points).shape[0] for p in pairs
+    } | {np.asarray(p.tgt_points).shape[0] for p in pairs}
     if len(buckets) != 1:
-        raise ValueError(f"packed batch needs same-bucket pairs, got {buckets}")
+        raise ValueError(
+            f"packed batch needs one shared src/tgt bucket, got {sorted(buckets)}")
     for p in pairs:
         if p.src_pyramid is None or p.tgt_pyramid is None:
             raise ValueError(

@@ -86,7 +86,13 @@ def _build(padded_n: int, iters: int, chunk: int):
     def run(src, tgt, valid, idx, thr, ratio):
         """src/tgt: (padded_n, 3) f32; valid (padded_n,) bool;
         idx (iters, 3) int32; thr/ratio scalars. Returns
-        (best_r (3,3), best_t (3,), best_count i32)."""
+        (best_r (3,3), best_t (3,), best_count i32).
+
+        Ranking is the numpy backend's lexicographic order exactly:
+        max inlier count first, then min RMSE, earliest hypothesis on
+        ties (eval/ransac.py:121-128) — a two-stage argmax/argmin, not a
+        combined score (count - rmse inverts across counts when
+        thr >= 1 and quantizes the tie-break in fp32)."""
         s_tri = src[idx]  # (H, 3, 3)
         t_tri = tgt[idx]
 
@@ -106,8 +112,6 @@ def _build(padded_n: int, iters: int, chunk: int):
         s_tr = jnp.einsum("bij,bkj->bki", r, s_tri) + t[:, None]
         ok &= jnp.all(jnp.linalg.norm(s_tr - t_tri, axis=-1) < thr, axis=-1)
 
-        nvalid = jnp.sum(valid)
-
         def count_chunk(args):
             rc, tc, okc = args  # (C, 3, 3), (C, 3), (C,)
             s_all = jnp.einsum("cij,nj->cni", rc, src) + tc[:, None]  # (C, N, 3)
@@ -118,19 +122,20 @@ def _build(padded_n: int, iters: int, chunk: int):
                 jnp.sum(jnp.where(inl, d2, 0.0), axis=-1)
                 / jnp.clip(counts, 1, None)
             )
-            score = jnp.where(okc, counts.astype(jnp.float32) - rmse, -jnp.inf)
-            return counts, score
+            return jnp.where(okc, counts, -1), rmse
 
         h = idx.shape[0]
         rc = r.reshape(h // chunk, chunk, 3, 3)
         tc = t.reshape(h // chunk, chunk, 3)
         okc = ok.reshape(h // chunk, chunk)
-        counts, score = jax.lax.map(count_chunk, (rc, tc, okc))
-        counts, score = counts.reshape(h), score.reshape(h)
+        counts, rmse = jax.lax.map(count_chunk, (rc, tc, okc))
+        counts, rmse = counts.reshape(h), rmse.reshape(h)
 
-        best = jnp.argmax(score)  # first max: count desc, rmse asc tie-break
-        best_count = jnp.where(jnp.isfinite(score[best]), counts[best], -1)
-        return r[best], t[best], best_count.astype(jnp.int32), nvalid
+        best_count = jnp.max(counts)  # -1 iff every hypothesis failed checks
+        # among max-count hypotheses, first min-RMSE (argmin returns the
+        # first minimum -> earliest hypothesis wins exact ties)
+        best = jnp.argmin(jnp.where(counts == best_count, rmse, jnp.inf))
+        return r[best], t[best], best_count.astype(jnp.int32)
 
     return jax.jit(run)
 
@@ -189,7 +194,7 @@ def ransac_pose_estimation_correspondences_jax(
     valid = np.zeros(padded_n, bool)
     valid[:n] = True
 
-    r, t, count, _ = fn(
+    r, t, count = fn(
         src_p, tgt_p, valid, idx,
         np.float32(distance_threshold), np.float32(edge_length_ratio),
     )

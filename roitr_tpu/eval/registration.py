@@ -20,6 +20,7 @@ from roitr_tpu.eval.ransac import (
     get_inlier_ratio_correspondence,
     ransac_pose_estimation_correspondences,
 )
+from roitr_tpu.eval.trajectory import read_trajectory, write_est_trajectory
 
 
 def _ransac_fn(backend: str):
@@ -35,7 +36,6 @@ def _ransac_fn(backend: str):
 
         return ransac_pose_estimation_correspondences_jax
     raise ValueError(f"unknown ransac backend {backend!r}")
-from roitr_tpu.eval.trajectory import read_trajectory, write_est_trajectory
 
 
 def resolve_gt_folder(whichbenchmark: str) -> str:
@@ -178,6 +178,7 @@ def benchmark_registration_rotated(
     evaluate_registration_c2f_rotated.py:40-116) — no Redwood covariances
     (the random rotations invalidate them).
     """
+    ransac_fn = _ransac_fn(ransac_backend)
     out_dir = os.path.join(exp_dir, whichbenchmark + "_rotated", str(n_points))
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -188,7 +189,7 @@ def benchmark_registration_rotated(
         src_corr, tgt_corr, conf = sample_correspondences(
             rng, data["src_corr_pts"], data["tgt_corr_pts"], data["confidence"], n_points
         )
-        tsfm = _ransac_fn(ransac_backend)(
+        tsfm = ransac_fn(
             src_corr, tgt_corr, max_iterations=ransac_iterations, seed=seed
         )
         inlier_ratios.append(

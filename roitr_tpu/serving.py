@@ -24,6 +24,35 @@ import numpy as np
 
 from roitr_tpu.config import Config
 
+# Correspondence wire format: ONE (..., C, 8) array per fetch instead of
+# four (each extra output leaf costs a host<->device round trip on the
+# tunnel backend). Columns: src xyz 0:3 | tgt xyz 3:6 | score 6 | mask 7.
+
+
+def _corr_pack(out):
+    """Device-side: model outputs -> (..., C, 8) packed correspondences."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate(
+        [
+            out["src_corr_points"],
+            out["tgt_corr_points"],
+            out["corr_scores"][..., None],
+            out["corr_masks"].astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )
+
+
+def _corr_unpack(corr: np.ndarray) -> Dict[str, np.ndarray]:
+    """Host-side: one pair's (C, 8) packed rows -> trimmed result dict."""
+    cmask = corr[:, 7] > 0.5
+    return {
+        "src_corr_pts": corr[cmask, 0:3],
+        "tgt_corr_pts": corr[cmask, 3:6],
+        "confidence": corr[cmask, 6],
+    }
+
 
 class Matcher:
     """Bucket-cached serving wrapper around the RoITr pipeline."""
@@ -53,7 +82,6 @@ class Matcher:
         if bucket in self._fwd_by_bucket:
             return self._fwd_by_bucket[bucket]
         import jax
-        import jax.numpy as jnp
 
         from roitr_tpu.utils.packing import build_spec, unpack_device
 
@@ -62,15 +90,7 @@ class Matcher:
         def run(p, packed):
             x = unpack_device(packed, treedef, spec)
             out = self.model.apply({"params": p}, x, train=False, with_gt=False)
-            corr = jnp.concatenate(
-                [
-                    out["src_corr_points"],
-                    out["tgt_corr_points"],
-                    out["corr_scores"][:, None],
-                    out["corr_masks"].astype(jnp.float32)[:, None],
-                ],
-                axis=1,
-            )  # (C, 8): one fetch instead of four
+            corr = _corr_pack(out)  # (C, 8): one fetch instead of four
             return (corr, out) if self.descriptors else corr
 
         entry = (jax.jit(run), spec, total)
@@ -90,34 +110,22 @@ class Matcher:
         if key in self._fwd_by_bucket:
             return self._fwd_by_bucket[key]
         import jax
-        import jax.numpy as jnp
 
         from roitr_tpu.utils.packing import build_spec, unpack_device
 
         treedef, spec, total = build_spec(batch_pair)
 
-        def corr_of(out):
-            return jnp.concatenate(
-                [
-                    out["src_corr_points"],
-                    out["tgt_corr_points"],
-                    out["corr_scores"][..., None],
-                    out["corr_masks"].astype(jnp.float32)[..., None],
-                ],
-                axis=-1,
-            )
-
         def run(p, packed):
             x = unpack_device(packed, treedef, spec)
             if mode == "map":
                 return jax.lax.map(
-                    lambda px: corr_of(
+                    lambda px: _corr_pack(
                         self.model.apply({"params": p}, px, train=False,
                                          with_gt=False)),
                     x,
                 )  # (B, C, 8)
             out = self.model.apply({"params": p}, x, train=False, with_gt=False)
-            return corr_of(out)  # (B, C, 8)
+            return _corr_pack(out)  # (B, C, 8)
 
         entry = (jax.jit(run), spec, total)
         self._fwd_by_bucket[key] = entry
@@ -224,13 +232,7 @@ class Matcher:
             out = {k: np.asarray(v) for k, v in out_dev.items()}
         else:
             corr = result
-        corr = np.asarray(corr)  # single device fetch
-        cmask = corr[:, 7] > 0.5
-        res = {
-            "src_corr_pts": corr[cmask, 0:3],
-            "tgt_corr_pts": corr[cmask, 3:6],
-            "confidence": corr[cmask, 6],
-        }
+        res = _corr_unpack(np.asarray(corr))  # single device fetch
         if self.descriptors:
             sc, tc = int(out["src_count"]), int(out["tgt_count"])
             snc, tnc = int(out["src_node_count"]), int(out["tgt_node_count"])
@@ -309,10 +311,5 @@ class Matcher:
                 corr = np.asarray(
                     fwd(self.params, pack_host(batch_pair, spec, total)))
                 for j, i in enumerate(group[:real]):
-                    cmask = corr[j, :, 7] > 0.5
-                    results[i] = {
-                        "src_corr_pts": corr[j, cmask, 0:3],
-                        "tgt_corr_pts": corr[j, cmask, 3:6],
-                        "confidence": corr[j, cmask, 6],
-                    }
+                    results[i] = _corr_unpack(corr[j])
         return [results[i] for i in range(len(prepared))]

@@ -68,7 +68,8 @@ def _write_config(tmp, root, info_path, mode):
         "model": {"pretrain": "", "transformer_architecture": ["self", "cross"]},
         "data": {
             "dataset": "tdmatch", "root": root, "train_info": info_path,
-            "val_info": info_path, "benchmark": "3DMatch", "buckets": [192],
+            "val_info": info_path, "test_info": info_path,
+            "benchmark": "3DMatch", "buckets": [192],
             "points_limit": 180, "normal_knn": 9,
         },
         "coarse_matching": {"num_gt_coarse_corr": 8, "num_est_coarse_corr": 8,

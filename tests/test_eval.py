@@ -314,3 +314,29 @@ def test_ransac_jax_backend_matches_numpy():
     # degenerate: too few correspondences -> identity, like the numpy path
     T = ransac_pose_estimation_correspondences_jax(src[:2], tgt[:2])
     np.testing.assert_array_equal(T, np.eye(4))
+
+    # ranking regression: with thr >= 1 a combined count-minus-rmse score
+    # inverts the lexicographic (count desc, rmse asc) order. Crafted
+    # scene: 3 exact anchors + 6 offset-by-1.4 points form a count-9
+    # high-rmse identity hypothesis; 8 points exactly translated by u
+    # form a count-8 rmse-0 hypothesis (old score 8.0 beat 9 - 1.14).
+    # Both backends must agree on the winner.
+    rng2 = np.random.RandomState(1)
+    anchors = rng2.randn(3, 3) * 5
+    offs_src = rng2.randn(6, 3) * 5
+    dirs = rng2.randn(6, 3)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    u = np.array([40.0, 0.0, 0.0])
+    u_src = rng2.randn(8, 3) * 5
+    src2 = np.concatenate([anchors, offs_src, u_src])
+    tgt2 = np.concatenate([anchors, offs_src + 1.4 * dirs, u_src + u])
+    T_np = ransac_pose_estimation_correspondences(
+        src2, tgt2, max_iterations=4096, seed=7, distance_threshold=1.5)
+    T_jx = ransac_pose_estimation_correspondences_jax(
+        src2, tgt2, max_iterations=4096, seed=7, distance_threshold=1.5)
+    np.testing.assert_allclose(T_jx, T_np, atol=1e-4)
+    # and the winner really is the count-9 anchor class, not the rmse-0
+    # count-8 u-translation (refinement may nudge one offset point just
+    # past thr, so assert class membership, not the exact count)
+    d = np.linalg.norm(src2 @ T_np[:3, :3].T + T_np[:3, 3] - tgt2, axis=1)
+    assert (d[:9] < 2.5).all() and (d[9:] > 30).all()

@@ -191,6 +191,69 @@ def test_tester_dp_sharded_matches_single(tmp_path, monkeypatch):
             np.testing.assert_array_equal(a[k].numpy(), b[k].numpy(), err_msg=f"pair {i}: {k}")
 
 
+def test_tester_packed_matches_single(tmp_path, monkeypatch):
+    """cfg.packed_batch groups batch_size same-bucket pairs into ONE flat
+    packed program per mesh shard; the per-pair dumps must match the
+    single-pair loop (fp32 reduction tolerance) in the right order — this
+    pins the (D, B) -> pair-major flattening and the a[i] dump indexing,
+    including the repeated-pair ragged tail (5 pairs over dp=2 x pack=2)."""
+    monkeypatch.chdir(tmp_path)
+    import torch
+
+    from roitr_tpu.data.loader import dict_to_pair
+    from roitr_tpu.data.pyramid import build_cloud_pyramid
+    from roitr_tpu.eval.tester import Tester
+    from roitr_tpu.models.roitr import RoITr
+
+    class PyramidDataset(SyntheticDataset):
+        def __getitem__(self, i):
+            item = super().__getitem__(i)
+            # packed mode needs host pyramids (preprocess.py:200-206 builds
+            # the source pyramid on the raw geometry)
+            item["src_pyramid"] = build_cloud_pyramid(
+                item["src_raw_points"], int(item["src_count"]),
+                strides=tuple(TINY.enc_strides), nsample=tuple(TINY.enc_nsample))
+            item["tgt_pyramid"] = build_cloud_pyramid(
+                item["tgt_points"], int(item["tgt_count"]),
+                strides=tuple(TINY.enc_strides), nsample=tuple(TINY.enc_nsample))
+            return item
+
+    base = TINY.replace(mode="test", host_pyramid=True)
+    ds = PyramidDataset(5)
+    model = RoITr(base)
+    pair = dict_to_pair(ds[0])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        pair, train=False,
+    )["params"]
+
+    Tester(base.replace(exp_dir="single"), dataset=ds, params=params).test()
+    Tester(
+        base.replace(exp_dir="packed", packed_batch=True, batch_size=2),
+        dataset=ds, params=params,
+    ).test()
+    Tester(
+        base.replace(exp_dir="packed_dp", packed_batch=True, batch_size=2,
+                     dp_size=2),
+        dataset=ds, params=params,
+    ).test()
+
+    for exp in ("packed", "packed_dp"):
+        for i in range(5):
+            a = torch.load(
+                os.path.join("snapshot", "single", base.benchmark, f"{i}.pth"),
+                weights_only=False)
+            b = torch.load(
+                os.path.join("snapshot", exp, base.benchmark, f"{i}.pth"),
+                weights_only=False)
+            assert set(a) == set(b)
+            for k in a:
+                av, bv = a[k].numpy(), b[k].numpy()
+                assert av.shape == bv.shape, f"{exp} pair {i}: {k}"
+                np.testing.assert_allclose(
+                    av, bv, atol=5e-5, rtol=1e-5, err_msg=f"{exp} pair {i}: {k}")
+
+
 def test_trainer_resume(tmp_path, monkeypatch):
     """cfg.pretrain restores params/epoch/bests (reference trainer.py:94-130)."""
     monkeypatch.chdir(tmp_path)
