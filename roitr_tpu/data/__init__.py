@@ -61,7 +61,11 @@ def get_dataset(config, mode: str):
     elif config.dataset == "fdmatch":
         from roitr_tpu.data.fdmatch import FDMatchDataset, read_entries
 
-        split_file = {"train": config.train_info, "val": config.val_info, "test": config.val_info}[mode]
+        split_file = {
+            "train": config.train_info,
+            "val": config.val_info,
+            "test": getattr(config, "test_info", "") or config.val_info,
+        }[mode]
         entries = read_entries(split_file, config.root)
         return FDMatchDataset(entries, config, data_augmentation=(mode == "train"))
     raise ValueError(f"unknown dataset {config.dataset!r}")

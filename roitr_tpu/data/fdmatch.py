@@ -22,9 +22,21 @@ from roitr_tpu.data.preprocess import (
 )
 
 
-def read_entries(split_file: str, data_root: str) -> List[str]:
-    """Entry list file: one relative .npz path per line
-    (reference lib/utils.py read_entries)."""
+def read_entries(split: str, data_root: str) -> List[str]:
+    """Resolve a 4DMatch split to a list of .npz entry paths.
+
+    Reference surface (lib/utils.py:11-25): `split` is a directory under
+    the data root (e.g. 'split/4DMatch' from Lepard-prepared data),
+    globbed as <split>/*/*.npz — accepted as-is so reference data layouts
+    are drop-in (sorted here for reproducible pair indices; the reference
+    leaves glob order to the filesystem). A plain text file of relative
+    .npz paths (one per line) also works, for custom splits."""
+    path = split if os.path.isabs(split) else os.path.join(data_root, split)
+    if os.path.isdir(path):
+        import glob
+
+        return sorted(glob.glob(os.path.join(path, "*", "*.npz")))
+    split_file = split if os.path.exists(split) else path
     entries = []
     with open(split_file) as f:
         for line in f:

@@ -44,7 +44,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024  # 2048 exceeds the 16M scoped-vmem limit (22.6M with double-buffered blocks)
+TILE = 1024  # rows per grid step at hidden=256 (see _tile_for)
+
+
+def _tile_for(hidden: int) -> int:
+    """Row-tile size fitting the 16M scoped-vmem limit. The per-step
+    footprint scales with TILE*hidden (out/temps/argmax blocks) plus
+    4 constant (H/2, H) weight blocks, so the tile shrinks as the width
+    grows: 1024 rows at H=256 (2048 measured 22.6M, over), 512 at H=512
+    (the 4DMatch factor=2 width; 1024 measured 21.7M on a v5e, over by
+    5.7M). Floor of 256 keeps the matmuls MXU-shaped at any wider H."""
+    return max(256, TILE * 256 // max(hidden, 256))
 
 
 def _div_term(hidden: int) -> np.ndarray:
@@ -103,27 +113,28 @@ def _pallas_forward(d_idx, a_idx, wd, bd, wa, ba, interpret=False,
     """d_idx (R,), a_idx (R, k) -> (R, H) [, (R, H) int8 argmax map]."""
     r, k = a_idx.shape
     hidden = wd.shape[1]
+    tile = _tile_for(hidden)
     div = jnp.asarray(_div_term(hidden))[None, :]  # (1, H/2)
-    pad = (-r) % TILE
+    pad = (-r) % tile
     if pad:
         d_idx = jnp.pad(d_idx, (0, pad))
         a_idx = jnp.pad(a_idx, ((0, pad), (0, 0)))
     rp = d_idx.shape[0]
-    grid = (rp // TILE,)
+    grid = (rp // tile,)
     out_shape = [jax.ShapeDtypeStruct((rp, hidden), out_dtype)]
-    out_specs = [pl.BlockSpec((TILE, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    out_specs = [pl.BlockSpec((tile, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     if with_argmax:
         out_shape.append(jax.ShapeDtypeStruct((rp, hidden), ARGMAX_DTYPE))
         out_specs.append(
-            pl.BlockSpec((TILE, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tile, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
     res = pl.pallas_call(
         functools.partial(_kernel, out_dtype=out_dtype),
         out_shape=tuple(out_shape),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hidden // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden // 2, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden // 2, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -207,15 +218,16 @@ def _bwd_kernel(d_ref, a_ref, amax_ref, g_ref, div_ref,
 def _pallas_backward(d_idx, a_idx, amax, g, hidden, interpret=False):
     """Returns (dwd (H, H), dbd (H,), dwa (H, H)); dba == dbd."""
     r, k = a_idx.shape
+    tile = _tile_for(hidden)
     div = jnp.asarray(_div_term(hidden))[None, :]
-    pad = (-r) % TILE
+    pad = (-r) % tile
     if pad:
         d_idx = jnp.pad(d_idx, (0, pad))
         a_idx = jnp.pad(a_idx, ((0, pad), (0, 0)))
         amax = jnp.pad(amax, ((0, pad), (0, 0)))
         g = jnp.pad(g, ((0, pad), (0, 0)))  # zero cotangent on pad rows
     rp = d_idx.shape[0]
-    grid = (rp // TILE,)
+    grid = (rp // tile,)
     h2 = hidden // 2
     wspec = pl.BlockSpec((h2, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM)
     dwde, dwdo, dwae, dwao, dbd = pl.pallas_call(
@@ -229,10 +241,10 @@ def _pallas_backward(d_idx, a_idx, amax, g, hidden, interpret=False):
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hidden // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(wspec, wspec, wspec, wspec,

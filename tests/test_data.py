@@ -136,6 +136,20 @@ def test_fdmatch_dataset(tmp_path, rng):
     assert np.abs(delta).max() > 1e-4
     assert "metric_index" in item
 
+    # reference split surface: a DIRECTORY under the data root globbed as
+    # <split>/*/*.npz (lib/utils.py:11-25) — Lepard-prepared layouts are
+    # drop-in; test mode prefers test_info (reference split['test'])
+    scene = root / "split" / "4DLoMatch" / "sceneA"
+    scene.mkdir(parents=True)
+    for p in paths:
+        os.link(root / p, scene / p)
+    cfg2 = cfg.replace(test_info="split/4DLoMatch", benchmark="4DLoMatch")
+    ds2 = get_dataset(cfg2, "test")
+    assert len(ds2) == 2
+    assert not ds2.data_augmentation
+    item2 = ds2[0]
+    assert "metric_index" in item2
+
 
 def test_all_shipped_configs_load():
     """Every YAML in configs/ must parse into a valid Config."""
