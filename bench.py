@@ -257,6 +257,8 @@ def main():
         (2048, Config(benchmark="3DMatch", sinkhorn_iters=100), 20, "n2048_default"),
         (2048, Config(benchmark="3DMatch", **prod), 30, "n2048_production"),
         (16384, Config(benchmark="3DMatch", **prod), 10, "n16384_production"),
+        # non-rigid path: factor=2 channels + adaptive matching live
+        (2048, Config(benchmark="4DMatch", **prod), 10, "n2048_4dmatch"),
     ]
     for bucket, cfg, iters, tag in points:
         pps = bench_point(*build_forward(bucket, cfg), iters)
