@@ -67,50 +67,53 @@ for H in (256, 512):
 rng = np.random.RandomState(2)
 from roitr_tpu.ops.pallas.rpe_attention_kernel import (
     fused_rpe_self_attention, supported_n, xla_forward)
-N, D, HEADS = 128, 256, 4
+# both shipped widths: D=256 (3DMatch) and D=512 (4DMatch factor=2 —
+# engaged at 4D buckets >= 16k where the node count is lane-aligned)
+N, HEADS = 128, 4
 assert supported_n(N)
-q2 = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.3)
-k2 = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.3)
-v2 = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.3)
-qwp = jnp.asarray(rng.randn(N, HEADS, D).astype(np.float32) * 0.1)
-embed = jnp.asarray(rng.randn(N, N, D).astype(np.float32) * 0.1)
-mask = jnp.asarray((np.arange(N) < N - 16).astype(np.float32))
-hid_p, ae_p = jax.jit(lambda *x: fused_rpe_self_attention(*x))(q2, k2, v2, qwp, embed, mask)
-# the RPE kernel's Mosaic dots run bf16 MXU passes like XLA's DEFAULT
-# precision (measured: bitwise-equal on some inputs, <=6e-4 across seeds;
-# an fp32-"highest" reference differs by ~3e-3 and is the outlier), so
-# DEFAULT is the apples-to-apples reference
-hid_x, ae_x = jax.jit(xla_forward)(q2, k2, v2, qwp, embed, mask)
-for name, pa, xa in (("hidden", hid_p, hid_x), ("ae", ae_p, ae_x)):
-    pa, xa = np.asarray(pa), np.asarray(xa)
-    err = np.max(np.abs(pa - xa)) / (np.max(np.abs(xa)) + 1e-30)
-    assert err < 2e-3, f"rpe {name} pallas vs xla on chip: {err:.2e}"
-print("rpe_attention ok")
+for D in (256, 512):
+  q2 = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.3)
+  k2 = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.3)
+  v2 = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.3)
+  qwp = jnp.asarray(rng.randn(N, HEADS, D).astype(np.float32) * 0.1)
+  embed = jnp.asarray(rng.randn(N, N, D).astype(np.float32) * 0.1)
+  mask = jnp.asarray((np.arange(N) < N - 16).astype(np.float32))
+  hid_p, ae_p = jax.jit(lambda *x: fused_rpe_self_attention(*x))(q2, k2, v2, qwp, embed, mask)
+  # the RPE kernel's Mosaic dots run bf16 MXU passes like XLA's DEFAULT
+  # precision (measured: bitwise-equal on some inputs, <=6e-4 across seeds;
+  # an fp32-"highest" reference differs by ~3e-3 and is the outlier), so
+  # DEFAULT is the apples-to-apples reference
+  hid_x, ae_x = jax.jit(xla_forward)(q2, k2, v2, qwp, embed, mask)
+  for name, pa, xa in (("hidden", hid_p, hid_x), ("ae", ae_p, ae_x)):
+      pa, xa = np.asarray(pa), np.asarray(xa)
+      err = np.max(np.abs(pa - xa)) / (np.max(np.abs(xa)) + 1e-30)
+      assert err < 2e-3, f"rpe {name} pallas vs xla on chip: {err:.2e}"
+  print("rpe_attention ok")
 
-# 2b. one-pass Pallas backward vs jax.vjp(xla_forward) on chip
-from roitr_tpu.ops.pallas.rpe_attention_kernel import _pallas_backward
-ghid = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.1)
-gae = jnp.asarray(rng.randn(N, HEADS, D).astype(np.float32) * 0.1)
-_, vjp_x = jax.vjp(lambda a, b, c, d, e: xla_forward(a, b, c, d, e, mask),
-                   q2, k2, v2, qwp, embed)
-dq_x, dk_x, dv_x, dqwp_x, demb_x = jax.jit(vjp_x)((ghid, gae))
-dq_p, dqwp_p, demb_p, dk_p, dv_p = jax.jit(lambda *x: _pallas_backward(*x))(
-    q2, k2, v2, qwp, embed, mask, ghid, gae)
-for name, pa, xa in (("dq", dq_p, dq_x), ("dk", dk_p, dk_x), ("dv", dv_p, dv_x),
-                     ("dqwp", dqwp_p, dqwp_x), ("dembed", demb_p, demb_x)):
-    pa, xa = np.asarray(pa), np.asarray(xa)
-    err = np.max(np.abs(pa - xa)) / (np.max(np.abs(xa)) + 1e-30)
-    # both sides run bf16 MXU passes with different contraction orders;
-    # ~2e-3 max deviations are bf16-pass noise (measured across seeds)
-    assert err < 5e-3, f"rpe bwd {name} pallas vs xla on chip: {err:.2e}"
-print("rpe_attention backward ok")
+  # 2b. one-pass Pallas backward vs jax.vjp(xla_forward) on chip
+  from roitr_tpu.ops.pallas.rpe_attention_kernel import _pallas_backward
+  ghid = jnp.asarray(rng.randn(N, D).astype(np.float32) * 0.1)
+  gae = jnp.asarray(rng.randn(N, HEADS, D).astype(np.float32) * 0.1)
+  _, vjp_x = jax.vjp(lambda a, b, c, d, e: xla_forward(a, b, c, d, e, mask),
+                     q2, k2, v2, qwp, embed)
+  dq_x, dk_x, dv_x, dqwp_x, demb_x = jax.jit(vjp_x)((ghid, gae))
+  dq_p, dqwp_p, demb_p, dk_p, dv_p = jax.jit(lambda *x: _pallas_backward(*x))(
+      q2, k2, v2, qwp, embed, mask, ghid, gae)
+  for name, pa, xa in (("dq", dq_p, dq_x), ("dk", dk_p, dk_x), ("dv", dv_p, dv_x),
+                       ("dqwp", dqwp_p, dqwp_x), ("dembed", demb_p, demb_x)):
+      pa, xa = np.asarray(pa), np.asarray(xa)
+      err = np.max(np.abs(pa - xa)) / (np.max(np.abs(xa)) + 1e-30)
+      # both sides run bf16 MXU passes with different contraction orders;
+      # ~2e-3 max deviations are bf16-pass noise (measured across seeds)
+      assert err < 5e-3, f"rpe bwd {name} pallas vs xla on chip: {err:.2e}"
+  print("rpe_attention backward ok")
 
-# bf16-store variant of the embedding input (the production default)
-hid_pb, ae_pb = jax.jit(lambda *x: fused_rpe_self_attention(*x))(
-    q2, k2, v2, qwp, embed.astype(jnp.bfloat16), mask)
-err = float(np.max(np.abs(np.asarray(hid_pb) - np.asarray(hid_x))))
-assert np.isfinite(err) and err < 0.1, f"bf16-store rpe diverged: {err}"
-print("rpe_attention bf16-store ok")
+  # bf16-store variant of the embedding input (the production default)
+  hid_pb, ae_pb = jax.jit(lambda *x: fused_rpe_self_attention(*x))(
+      q2, k2, v2, qwp, embed.astype(jnp.bfloat16), mask)
+  err = float(np.max(np.abs(np.asarray(hid_pb) - np.asarray(hid_x))))
+  assert np.isfinite(err) and err < 0.1, f"bf16-store rpe diverged: {err}"
+  print("rpe_attention bf16-store ok")
 
 # 4. on-core FPS vs the XLA fori_loop (bit-exact indices)
 rng = np.random.RandomState(4)
