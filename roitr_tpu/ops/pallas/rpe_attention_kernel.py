@@ -91,10 +91,16 @@ def _recompute_attn(q_ref, qwp_ref, emb_ref, k_ref, mask_ref, step, num_heads):
 
     q_bd = (q_ref[...][:, None, :] * seg[None]).reshape(r, d)  # (R, D)
     qwp_flat = qwp_ref[...].reshape(r, d)  # (R, D)
-    e_flat = emb_ref[...].reshape(tn * n, d).astype(jnp.float32)  # (TN*N, D)
+    # keep the embedding block in its storage dtype: an .astype(f32)
+    # materializes a (TN*N, D) stack temp — 8 MB at (N, D) = (512, 512),
+    # which blew the 16M scoped-vmem limit in the backward at the 4D 32k
+    # shape. Mixed-dtype dots (f32 x bf16, f32 accumulate) avoid the temp
+    # with no precision loss on the f32 side; on the MXU the bf16 side
+    # feeds the same bf16 passes Mosaic uses for f32 dots anyway.
+    e_flat = emb_ref[...].reshape(tn * n, d)  # (TN*N, D), storage dtype
 
     se = _nt(q_bd, k_ref[...])  # (R, N) — shared keys, no row blocking needed
-    sp = _nt(qwp_flat, e_flat).reshape(r, tn, n)  # (R, TN, N) incl. cross rows
+    sp = _nt(qwp_flat, e_flat).reshape(r, tn, n)  # (R, TN, N)
     s = (sp + se[:, None, :]) * inv
 
     # masks over (R, TN, N): own-block (j == row), valid keys, self-exclusion
@@ -133,7 +139,8 @@ def _kernel(q_ref, qwp_ref, emb_ref, k_ref, v_ref, mask_ref, hid_ref, ae_ref,
     hid_full = _nn(jnp.sum(attn, axis=1), v_ref[...])  # (R, D)
     hid_rows = jnp.sum(hid_full.reshape(tn, h, d) * seg[None], axis=1)  # (TN, D)
     hid_ref[...] = hid_rows
-    ae_ref[...] = _nn(attn_pos.reshape(r, tn * n), e_flat).reshape(tn, h, d)
+    ap = attn_pos.reshape(r, tn * n)
+    ae_ref[...] = _nn(ap, e_flat).reshape(tn, h, d)
 
 
 def _bwd_kernel(q_ref, qwp_ref, emb_ref, k_ref, v_ref, mask_ref, ghid_ref,
@@ -280,6 +287,19 @@ def _pallas_forward(q2, k2, v2, qwp, embed, key_mask, interpret=False):
 BTN = 8  # backward rows/step (Mosaic needs the sublane block dim % 8 == 0,
 # so the tile cannot shrink below 8 to buy VMEM headroom)
 
+# Backward VMEM guard: the double-buffered (BTN, N, D) embedding-in and
+# demb-out blocks dominate the backward's scoped vmem (4 x block bytes);
+# at (N, D) = (512, 512) bf16 the 4 MB blocks alone hit the 16M limit
+# (measured on a v5e: 16.04M > 16.00M, the 4D 32k train step). 2 MB
+# blocks (the 3D 32k shape) fit with room for temps. Oversized shapes
+# fall back to the XLA recompute VJP — measured a wash against the
+# kernel at shapes where both fit (PERFORMANCE.md kernel re-audit).
+_BWD_EMB_BLOCK_LIMIT = 2 * 1024 * 1024
+
+
+def bwd_fits_vmem(n: int, d: int, emb_itemsize: int) -> bool:
+    return BTN * n * d * emb_itemsize <= _BWD_EMB_BLOCK_LIMIT
+
 
 def _pallas_backward(q2, k2, v2, qwp, embed, key_mask, ghid, gae, interpret=False):
     n, d = q2.shape
@@ -343,6 +363,16 @@ def _fwd(q2, k2, v2, qwp, embed, key_mask, interpret):
 def _bwd(interpret, res, g):
     q2, k2, v2, qwp, embed, key_mask = res
     ghid, gae = g
+    n, d = q2.shape
+    if not interpret and not bwd_fits_vmem(n, d, embed.dtype.itemsize):
+        _, vjp = jax.vjp(
+            lambda a, b, c, w, e: xla_forward(a, b, c, w, e, key_mask),
+            q2, k2, v2, qwp, embed,
+        )
+        dq2, dk2, dv2, dqwp, dembed = vjp(
+            (ghid.astype(jnp.float32), gae.astype(jnp.float32))
+        )
+        return dq2, dk2, dv2, dqwp, dembed, None
     dq2, dqwp, dembed, dk2, dv2 = _pallas_backward(
         q2, k2, v2, qwp, embed, key_mask,
         ghid.astype(jnp.float32), gae.astype(jnp.float32), interpret=interpret,

@@ -115,6 +115,33 @@ for D in (256, 512):
   assert np.isfinite(err) and err < 0.1, f"bf16-store rpe diverged: {err}"
   print("rpe_attention bf16-store ok")
 
+# 2c. oversized-shape backward guard: force the XLA-VJP fallback (the
+# path the 4D 32k train step takes, where the (BTN, N, D) emb/demb
+# blocks exceed scoped vmem) and check it returns the SAME gradients in
+# the SAME order as the pallas backward
+import roitr_tpu.ops.pallas.rpe_attention_kernel as rpe_mod
+
+def _loss(q, k, v, w, e):
+    hid, ae = rpe_mod.fused_rpe_self_attention(q, k, v, w, e, mask)
+    return (hid * ghid).sum() + (ae * gae.astype(hid.dtype)).sum()
+
+g_pl = jax.jit(jax.grad(_loss, argnums=(0, 1, 2, 3, 4)))(q2, k2, v2, qwp, embed)
+_orig = rpe_mod._BWD_EMB_BLOCK_LIMIT
+rpe_mod._BWD_EMB_BLOCK_LIMIT = 0  # every shape "too big" -> fallback
+
+def _loss_fb(q, k, v, w, e):
+    hid, ae = rpe_mod.fused_rpe_self_attention(q, k, v, w, e, mask)
+    return (hid * ghid).sum() + (ae * gae.astype(hid.dtype)).sum()
+
+g_fb = jax.jit(jax.grad(_loss_fb, argnums=(0, 1, 2, 3, 4)))(q2, k2, v2, qwp, embed)
+rpe_mod._BWD_EMB_BLOCK_LIMIT = _orig
+for name, pa, xa in zip(("dq", "dk", "dv", "dqwp", "dembed"), g_pl, g_fb):
+    pa, xa = np.asarray(pa, np.float32), np.asarray(xa, np.float32)
+    assert pa.shape == xa.shape, (name, pa.shape, xa.shape)
+    err = np.max(np.abs(pa - xa)) / (np.max(np.abs(xa)) + 1e-30)
+    assert err < 5e-3, f"rpe bwd fallback {name}: {err:.2e}"
+print("rpe_attention bwd vmem-guard fallback ok")
+
 # 4. on-core FPS vs the XLA fori_loop (bit-exact indices)
 rng = np.random.RandomState(4)
 from roitr_tpu.ops.fps import furthest_point_sampling
