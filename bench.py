@@ -257,7 +257,10 @@ def main():
         (2048, Config(benchmark="3DMatch", sinkhorn_iters=100), 20, "n2048_default"),
         (2048, Config(benchmark="3DMatch", **prod), 30, "n2048_production"),
         (16384, Config(benchmark="3DMatch", **prod), 10, "n16384_production"),
-        # non-rigid path: factor=2 channels + adaptive matching live
+        # non-rigid path: factor=2 channels + adaptive matching live.
+        # vs_baseline null: the assumed figures are for the RIGID model
+        # (the 4D reference is factor=2 — ~4x the matmul FLOPs — and has
+        # no published or assumable GPU number)
         (2048, Config(benchmark="4DMatch", **prod), 10, "n2048_4dmatch"),
     ]
     for bucket, cfg, iters, tag in points:
@@ -266,7 +269,8 @@ def main():
             "metric": f"inference_pairs_per_sec_{tag}",
             "value": round(pps, 3),
             "unit": "pairs/sec",
-            "vs_baseline": round(pps / ASSUMED_BASELINE[bucket], 3),
+            "vs_baseline": None if cfg.benchmark != "3DMatch"
+            else round(pps / ASSUMED_BASELINE[bucket], 3),
             "ms_per_pair": round(1e3 / pps, 2),
         })
 

@@ -35,7 +35,13 @@ def read_entries(split: str, data_root: str) -> List[str]:
     if os.path.isdir(path):
         import glob
 
-        return sorted(glob.glob(os.path.join(path, "*", "*.npz")))
+        entries = sorted(glob.glob(os.path.join(path, "*", "*.npz")))
+        if not entries:
+            raise FileNotFoundError(
+                f"4DMatch split directory {path!r} matched no "
+                f"<scene>/*.npz entries — expected the Lepard layout "
+                f"(split/<benchmark>/<scene>/pair.npz)")
+        return entries
     split_file = split if os.path.exists(split) else path
     entries = []
     with open(split_file) as f:

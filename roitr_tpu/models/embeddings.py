@@ -141,9 +141,15 @@ class GeometricStructureEmbedding(nn.Module):
         wd, bd = _DenseParams(self.hidden_dim, self.hidden_dim, name="proj_d")()
         wa, ba = _DenseParams(self.hidden_dim, self.hidden_dim, name="proj_a")()
 
+        from roitr_tpu.ops.pallas.geo_embedding_kernel import supported_hidden
+
         backend = self.backend
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            backend = (
+                "pallas"
+                if jax.default_backend() == "tpu" and supported_hidden(self.hidden_dim)
+                else "xla"
+            )
         if backend.startswith("pallas") and self.reduction_a == "max":
             from roitr_tpu.ops.pallas.geo_embedding_kernel import fused_geo_embedding
 

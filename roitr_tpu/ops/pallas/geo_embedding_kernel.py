@@ -47,14 +47,32 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024  # rows per grid step at hidden=256 (see _tile_for)
 
 
+MAX_HIDDEN = 1024  # beyond this the 4 constant (H/2, H) f32 weight blocks
+# alone approach the 16M scoped-vmem limit; callers (models/embeddings.py)
+# route wider experimental widths to the XLA formulation
+
+
 def _tile_for(hidden: int) -> int:
     """Row-tile size fitting the 16M scoped-vmem limit. The per-step
     footprint scales with TILE*hidden (out/temps/argmax blocks) plus
     4 constant (H/2, H) weight blocks, so the tile shrinks as the width
     grows: 1024 rows at H=256 (2048 measured 22.6M, over), 512 at H=512
     (the 4DMatch factor=2 width; 1024 measured 21.7M on a v5e, over by
-    5.7M). Floor of 256 keeps the matmuls MXU-shaped at any wider H."""
-    return max(256, TILE * 256 // max(hidden, 256))
+    5.7M). Rounded DOWN to a multiple of 256 so non-power-of-two widths
+    (e.g. 384) still get sublane-aligned tiles; floor 256 keeps the
+    matmuls MXU-shaped up to MAX_HIDDEN (wider widths must not reach
+    this kernel — see supported_hidden)."""
+    if hidden > MAX_HIDDEN:
+        raise ValueError(
+            f"fused_geo_embedding supports hidden <= {MAX_HIDDEN}, got "
+            f"{hidden}; use the XLA formulation")
+    return max(256, (TILE * 256 // max(hidden, 256)) // 256 * 256)
+
+
+def supported_hidden(hidden: int) -> bool:
+    """Routing guard for callers: the kernel's VMEM budget holds up to
+    MAX_HIDDEN (weight blocks scale with H^2)."""
+    return hidden <= MAX_HIDDEN
 
 
 def _div_term(hidden: int) -> np.ndarray:
@@ -69,12 +87,13 @@ ARGMAX_DTYPE = jnp.int8  # k <= 3 routing indices; 67 MB at R = 512^2
 def _kernel(d_ref, a_ref, div_ref, wde_ref, wdo_ref, bd_ref,
             wae_ref, wao_ref, ba_ref, out_ref, *amax_ref,
             out_dtype=jnp.float32):
-    # NOTE (measured, v5e): the fp32 dots below run at ~36 TFLOP/s — near
-    # the fp32 MXU roofline; this kernel is compute-bound, not HBM-bound.
-    # Casting the operands to bf16 changes nothing: this Mosaic version
-    # upcasts non-f32 dot operands back to f32 (verified bitwise-identical
-    # output and timing), so bf16 MXU passes are not reachable from Pallas
-    # here. Revisit if Mosaic gains native bf16 matmul lowering.
+    # NOTE (re-measured 2026-08-18, v5e): these f32 dots already run bf16
+    # MXU passes — the output is bitwise-equal to XLA DEFAULT precision
+    # and ~2.4e-3 from an fp32-"highest" reference. (Round 2 read "bf16
+    # operand cast changes nothing" as proof of fp32 passes; it's equally
+    # consistent with bf16 passes being active, which is what holds.)
+    # In-pipeline the kernel now TIES plain XLA at 32k and is kept for
+    # training HBM headroom only — see PERFORMANCE.md kernel re-audit.
     div = div_ref[0, :]  # (H/2,)
     d = d_ref[:, 0]  # (T,)
     om = d[:, None] * div[None, :]  # (T, H/2)

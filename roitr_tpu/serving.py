@@ -292,13 +292,22 @@ class Matcher:
         for i, pair in enumerate(prepared):
             by_bucket.setdefault(int(pair.src_points.shape[0]), []).append(i)
 
-        # two phases: DISPATCH every group (jax dispatch is async), THEN
-        # fetch. Fetching inside the dispatch loop would serialize a full
-        # host<->device round trip (~33 ms on the tunnel backend) per
-        # group; dispatching first overlaps each group's transfer+compute
-        # with the previous group's fetch. The in-flight (B, C, 8) corr
-        # buffers are small, so keeping all groups resident is free.
-        inflight = []  # (group, real, device_corr)
+        # pipelined dispatch: fetching inside the dispatch loop would
+        # serialize a full host<->device round trip (~33 ms on the tunnel
+        # backend) per group, so run a small dispatch-ahead WINDOW — the
+        # RTT overlaps the next groups' prep+compute while in-flight
+        # device INPUT buffers (points/normals/pyramids, tens of MB per
+        # group at big buckets) stay bounded instead of all-resident.
+        window = 3
+        results: Dict[int, Dict[str, np.ndarray]] = {}
+        inflight: list = []  # (group, real, device_corr)
+
+        def drain_one():
+            group, real, corr_dev = inflight.pop(0)
+            corr = np.asarray(corr_dev)
+            for j, i in enumerate(group[:real]):
+                results[i] = _corr_unpack(corr[j])
+
         for bucket, idxs in by_bucket.items():
             use_mode = mode if mode != "auto" else (
                 "packed" if bucket <= 1024 else "map")
@@ -316,10 +325,8 @@ class Matcher:
                     bucket, len(padded_group), batch_pair, use_mode)
                 inflight.append(
                     (group, real, fwd(self.params, pack_host(batch_pair, spec, total))))
-
-        results: Dict[int, Dict[str, np.ndarray]] = {}
-        for group, real, corr_dev in inflight:
-            corr = np.asarray(corr_dev)
-            for j, i in enumerate(group[:real]):
-                results[i] = _corr_unpack(corr[j])
+                if len(inflight) > window:
+                    drain_one()
+        while inflight:
+            drain_one()
         return [results[i] for i in range(len(prepared))]
