@@ -45,3 +45,27 @@ def estimate_normals(
     normals = jnp.where(flip[:, None], -normals, normals)
     # zero out padded rows so they never contribute spurious geometry
     return jnp.where(prefix_mask(points.shape[0], count)[:, None], normals, 0.0)
+
+
+def estimate_normals_segmented(
+    points: jnp.ndarray,
+    counts: jnp.ndarray,
+    k: int = 33,
+    view_point=(0.0, 0.0, 0.0),
+) -> jnp.ndarray:
+    """Per-pair normals for a packed flat cloud.
+
+    points: (B*N, 3) — B same-bucket clouds concatenated (data/packing.py
+    layout); counts: (B,) valid rows per segment. Each segment's kNN runs
+    against its own rows only (neighborhoods must not cross pair
+    boundaries), sequenced with lax.map — batched neighborhood gathers lower
+    poorly on TPU (PERFORMANCE.md), and normals are a prologue, not the hot
+    loop. Returns (B*N, 3) flat normals, padded rows zeroed.
+    """
+    b = counts.shape[0]
+    pts = points.reshape(b, -1, 3)
+    out = jax.lax.map(
+        lambda seg: estimate_normals(seg[0], seg[1], k=k, view_point=view_point),
+        (pts, counts),
+    )
+    return out.reshape(-1, 3)

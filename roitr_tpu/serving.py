@@ -57,7 +57,25 @@ def _corr_unpack(corr: np.ndarray) -> Dict[str, np.ndarray]:
 class Matcher:
     """Bucket-cached serving wrapper around the RoITr pipeline."""
 
-    def __init__(self, cfg: Config, params, descriptors: bool = False):
+    def __init__(
+        self,
+        cfg: Config,
+        params,
+        descriptors: bool = False,
+        prep: str = "host",
+    ):
+        """prep: where normals are estimated when the caller provides none.
+
+        "host": numpy kNN-33 PCA in _prepare — the dataset-identical path,
+        but ~20 ms/pair of the 21.8 ms sustained serving cost on a
+        single-core host (PERFORMANCE.md). "device": normals are computed
+        inside the jitted program (ops/normals.py — the same math the test
+        suite certifies against the numpy twin), so the host only pads and
+        builds the cheap FPS/kNN pyramid. Caller-provided normals are always
+        honored either way (the reference's Open3D estimation lives in the
+        dataset workers, dataset/tdmatch.py:120-127 — a serving host has no
+        such pool).
+        """
         import jax
 
         from roitr_tpu.models.roitr import RoITr
@@ -65,9 +83,12 @@ class Matcher:
 
         enable_persistent_cache()
 
+        if prep not in ("host", "device"):
+            raise ValueError(f"unknown prep mode {prep!r}")
         self.cfg = cfg
         self.params = params
         self.descriptors = descriptors
+        self.prep = prep
         self.model = RoITr(cfg)
         # serving mode: no GT analysis outputs (with_gt=False); one compiled
         # program per bucket, cached across calls. Inputs travel as ONE
@@ -77,10 +98,40 @@ class Matcher:
         # transfer latency around a 4 ms forward at the 2048 bucket).
         self._fwd_by_bucket = {}
 
-    def _get_fwd(self, bucket, pair):
+    def _device_normals(self, x, est):
+        """Estimate missing normals inside the program (single pair)."""
+        from roitr_tpu.ops.normals import estimate_normals
+
+        k = self.cfg.normal_knn
+        if est[0]:
+            # src normals come from the raw source geometry, like the
+            # datasets (reference fdmatch.py:85-90 estimates on src_pcd
+            # before deformation chaining; rigid raw == deformed)
+            x = x._replace(
+                src_normals=estimate_normals(x.src_raw_points, x.src_count, k=k))
+        if est[1]:
+            x = x._replace(
+                tgt_normals=estimate_normals(x.tgt_points, x.tgt_count, k=k))
+        return x
+
+    def _device_normals_packed(self, x, est):
+        """Same for a packed flat batch ((B*N, 3) leaves, (B,) counts)."""
+        from roitr_tpu.ops.normals import estimate_normals_segmented
+
+        k = self.cfg.normal_knn
+        if est[0]:
+            x = x._replace(src_normals=estimate_normals_segmented(
+                x.src_raw_points, x.src_count, k=k))
+        if est[1]:
+            x = x._replace(tgt_normals=estimate_normals_segmented(
+                x.tgt_points, x.tgt_count, k=k))
+        return x
+
+    def _get_fwd(self, bucket, pair, est=(False, False)):
         """Per-bucket jitted (params, packed) -> packed_corr [, full out]."""
-        if bucket in self._fwd_by_bucket:
-            return self._fwd_by_bucket[bucket]
+        key = (bucket, est)
+        if key in self._fwd_by_bucket:
+            return self._fwd_by_bucket[key]
         import jax
 
         from roitr_tpu.utils.packing import build_spec, unpack_device
@@ -89,16 +140,18 @@ class Matcher:
 
         def run(p, packed):
             x = unpack_device(packed, treedef, spec)
+            x = self._device_normals(x, est)
             out = self.model.apply({"params": p}, x, train=False, with_gt=False)
             corr = _corr_pack(out)  # (C, 8): one fetch instead of four
             return (corr, out) if self.descriptors else corr
 
         entry = (jax.jit(run), spec, total)
-        self._fwd_by_bucket[bucket] = entry
+        self._fwd_by_bucket[key] = entry
         return entry
 
-    def _get_batch_fwd(self, bucket, batch_size, batch_pair, mode):
-        """Jitted batch program for (bucket, batch_size, mode).
+    def _get_batch_fwd(self, bucket, batch_size, batch_pair, mode,
+                       est=(False, False)):
+        """Jitted batch program for (bucket, batch_size, mode, est).
 
         mode "packed": B pairs as ONE flat cloud (data/packing.py) —
         amortizes the whole small-bucket fixed pool; measured best at
@@ -106,7 +159,7 @@ class Matcher:
         mode "map": lax.map over stacked pairs — sequential on device,
         amortizes only dispatch; measured best at 2048+ (PERFORMANCE.md).
         """
-        key = (bucket, batch_size, mode)
+        key = (bucket, batch_size, mode, est)
         if key in self._fwd_by_bucket:
             return self._fwd_by_bucket[key]
         import jax
@@ -120,10 +173,12 @@ class Matcher:
             if mode == "map":
                 return jax.lax.map(
                     lambda px: _corr_pack(
-                        self.model.apply({"params": p}, px, train=False,
-                                         with_gt=False)),
+                        self.model.apply(
+                            {"params": p}, self._device_normals(px, est),
+                            train=False, with_gt=False)),
                     x,
                 )  # (B, C, 8)
+            x = self._device_normals_packed(x, est)
             out = self.model.apply({"params": p}, x, train=False, with_gt=False)
             return _corr_pack(out)  # (B, C, 8)
 
@@ -152,14 +207,22 @@ class Matcher:
         # datasets redirect normals toward the origin view point
         # (reference dataset/tdmatch.py:46, fdmatch.py:42)
         view = np.zeros(3, np.float32)
+        # prep="device": missing normals are estimated INSIDE the jitted
+        # program (the host step below is ~20 ms/pair on one core); the
+        # zeros placeholders are overwritten device-side before the model
+        # ever reads them.
+        est = (src_normals is None and self.prep == "device",
+               tgt_normals is None and self.prep == "device")
         if src_normals is None:
-            src_normals = normal_redirect_np(
+            src_normals = (np.zeros_like(src_pcd) if est[0] else
+                           normal_redirect_np(
                 src_pcd, estimate_normals_np(src_pcd, cfg.normal_knn), view
-            )
+            ))
         if tgt_normals is None:
-            tgt_normals = normal_redirect_np(
+            tgt_normals = (np.zeros_like(tgt_pcd) if est[1] else
+                           normal_redirect_np(
                 tgt_pcd, estimate_normals_np(tgt_pcd, cfg.normal_knn), view
-            )
+            ))
         bucket = pick_bucket(max(len(src_pcd), len(tgt_pcd)), cfg.buckets)
         s_pts, s_nrm, s_feats, s_cnt = pad_cloud(src_pcd, src_normals, bucket)
         t_pts, t_nrm, t_feats, t_cnt = pad_cloud(tgt_pcd, tgt_normals, bucket)
@@ -187,7 +250,7 @@ class Matcher:
             item["tgt_pyramid"] = build_cloud_pyramid(
                 t_pts, int(t_cnt), strides=tuple(cfg.enc_strides),
                 nsample=tuple(cfg.enc_nsample))
-        return dict_to_pair(item)
+        return dict_to_pair(item), est
 
     def match(
         self,
@@ -220,11 +283,11 @@ class Matcher:
                 tgt_pcd = tgt_pcd[idx]
                 if tgt_normals is not None:
                     tgt_normals = np.asarray(tgt_normals, np.float32)[idx]
-        pair = self._prepare(src_pcd, tgt_pcd, src_normals, tgt_normals)
+        pair, est = self._prepare(src_pcd, tgt_pcd, src_normals, tgt_normals)
         from roitr_tpu.utils.packing import pack_host
 
         bucket = int(pair.src_points.shape[0])
-        fwd, spec, total = self._get_fwd(bucket, pair)
+        fwd, spec, total = self._get_fwd(bucket, pair, est)
         packed = pack_host(pair, spec, total)
         result = fwd(self.params, packed)
         if self.descriptors:
@@ -276,21 +339,26 @@ class Matcher:
         from roitr_tpu.utils.packing import pack_host
 
         prepared = []
+        ests = []
         for item in pairs:
             src, tgt = item[0], item[1]
             sn = item[2] if len(item) > 2 else None
             tn = item[3] if len(item) > 3 else None
-            prepared.append(
-                self._prepare(
-                    np.ascontiguousarray(src, np.float32),
-                    np.ascontiguousarray(tgt, np.float32),
-                    sn, tn,
-                )
+            pair, est = self._prepare(
+                np.ascontiguousarray(src, np.float32),
+                np.ascontiguousarray(tgt, np.float32),
+                sn, tn,
             )
+            prepared.append(pair)
+            ests.append(est)
 
-        by_bucket: Dict[int, list] = {}
+        # group by (bucket, est flags) so each compiled batch program has
+        # static normal-estimation structure (device prep adds est variants;
+        # all-host or all-sensor-normal workloads group exactly as before)
+        by_bucket: Dict[tuple, list] = {}
         for i, pair in enumerate(prepared):
-            by_bucket.setdefault(int(pair.src_points.shape[0]), []).append(i)
+            by_bucket.setdefault(
+                (int(pair.src_points.shape[0]), ests[i]), []).append(i)
 
         # pipelined dispatch: fetching inside the dispatch loop would
         # serialize a full host<->device round trip (~33 ms on the tunnel
@@ -308,7 +376,7 @@ class Matcher:
             for j, i in enumerate(group[:real]):
                 results[i] = _corr_unpack(corr[j])
 
-        for bucket, idxs in by_bucket.items():
+        for (bucket, est), idxs in by_bucket.items():
             use_mode = mode if mode != "auto" else (
                 "packed" if bucket <= 1024 else "map")
             for s in range(0, len(idxs), batch_size):
@@ -322,7 +390,7 @@ class Matcher:
                 batch_pair = (pack_pairs(group_pairs) if use_mode == "packed"
                               else stack_batch(group_pairs))
                 fwd, spec, total = self._get_batch_fwd(
-                    bucket, len(padded_group), batch_pair, use_mode)
+                    bucket, len(padded_group), batch_pair, use_mode, est)
                 inflight.append(
                     (group, real, fwd(self.params, pack_host(batch_pair, spec, total))))
                 if len(inflight) > window:

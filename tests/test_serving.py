@@ -192,3 +192,84 @@ def test_match_batch_map_mode(pyramid_matcher):
             got["src_corr_pts"], want["src_corr_pts"], rtol=1e-4, atol=1e-5)
     with pytest.raises(ValueError):
         pyramid_matcher.match_batch(pairs, mode="bogus")
+
+
+@pytest.fixture(scope="module")
+def device_prep_matcher(pyramid_matcher):
+    """Same params/config as pyramid_matcher, normals estimated in-program."""
+    return Matcher(pyramid_matcher.cfg, pyramid_matcher.params, prep="device")
+
+
+def _corr_set(out, decimals=4):
+    return {
+        tuple(np.round(np.concatenate([s, t]), decimals))
+        for s, t in zip(out["src_corr_pts"], out["tgt_corr_pts"])
+    }
+
+
+def test_device_prep_matches_host_prep(pyramid_matcher, device_prep_matcher):
+    """prep='device' (in-program kNN-PCA normals) must reproduce the host
+    numpy prep up to eigensolver tolerance: the normals agree to high
+    cosine, and the produced correspondence sets overlap near-fully (exact
+    bit equality is not expected — jnp.linalg.eigh and numpy eigh round
+    differently, and a handful of borderline matches may flip)."""
+    from roitr_tpu.data.preprocess import estimate_normals_np, normal_redirect_np
+    from roitr_tpu.ops.normals import estimate_normals
+
+    rng = np.random.RandomState(8)
+    src = rng.rand(117, 3).astype(np.float32)
+    tgt = rng.rand(103, 3).astype(np.float32)
+
+    # normals themselves: device vs numpy twin
+    host_n = normal_redirect_np(
+        src, estimate_normals_np(src, CFG.normal_knn), np.zeros(3, np.float32))
+    pad = np.zeros((128, 3), np.float32)
+    pad[:117] = src
+    dev_n = np.asarray(estimate_normals(pad, np.int32(117), k=CFG.normal_knn))[:117]
+    cos = np.abs(np.sum(host_n * dev_n, axis=-1))
+    assert np.mean(cos > 0.999) > 0.97, f"normal agreement {np.mean(cos > 0.999)}"
+
+    host_out = pyramid_matcher.match(src, tgt)
+    dev_out = device_prep_matcher.match(src, tgt)
+    a, b = _corr_set(host_out), _corr_set(dev_out)
+    jacc = len(a & b) / max(len(a | b), 1)
+    assert jacc >= 0.9, f"correspondence Jaccard {jacc}"
+
+
+def test_device_prep_honors_sensor_normals(pyramid_matcher, device_prep_matcher):
+    """Caller-provided normals bypass estimation entirely in BOTH prep
+    modes — outputs must be bitwise identical between them."""
+    rng = np.random.RandomState(9)
+    src = rng.rand(100, 3).astype(np.float32)
+    tgt = rng.rand(96, 3).astype(np.float32)
+    sn = normal_like_z = np.tile(np.array([[0, 0, 1]], np.float32), (100, 1))
+    tn = np.tile(np.array([[0, 0, 1]], np.float32), (96, 1))
+    a = pyramid_matcher.match(src, tgt, src_normals=sn, tgt_normals=tn)
+    b = device_prep_matcher.match(src, tgt, src_normals=sn, tgt_normals=tn)
+    np.testing.assert_array_equal(a["src_corr_pts"], b["src_corr_pts"])
+    np.testing.assert_array_equal(a["confidence"], b["confidence"])
+
+
+def test_device_prep_match_batch(device_prep_matcher):
+    """match_batch with device prep: packed and map backends both reproduce
+    the per-pair device-prep match(), including a mixed group where one
+    pair brings sensor normals (separate est-flag group)."""
+    rng = np.random.RandomState(10)
+    pairs = [
+        (rng.rand(117, 3).astype(np.float32), rng.rand(103, 3).astype(np.float32)),
+        (rng.rand(90, 3).astype(np.float32), rng.rand(95, 3).astype(np.float32)),
+    ]
+    sn = np.tile(np.array([[0, 0, 1]], np.float32), (110, 1))
+    tn = np.tile(np.array([[0, 0, 1]], np.float32), (100, 1))
+    pairs.append((rng.rand(110, 3).astype(np.float32),
+                  rng.rand(100, 3).astype(np.float32), sn, tn))
+    for mode in ("packed", "map"):
+        batched = device_prep_matcher.match_batch(pairs, batch_size=2, mode=mode)
+        assert len(batched) == len(pairs)
+        for item, got in zip(pairs, batched):
+            want = device_prep_matcher.match(*item)
+            assert got["src_corr_pts"].shape == want["src_corr_pts"].shape
+            np.testing.assert_allclose(
+                got["src_corr_pts"], want["src_corr_pts"], rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(
+                got["confidence"], want["confidence"], rtol=1e-3, atol=1e-5)

@@ -24,6 +24,12 @@ def main():
     parser.add_argument("--pairs", type=int, default=6)
     parser.add_argument("--bucket", type=int, default=512)
     parser.add_argument("--out", default="demo_run")
+    parser.add_argument("--compute-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="training compute dtype (bf16 = the opt-in "
+                        "fast-training lever, PERFORMANCE.md)")
+    parser.add_argument("--log-json", default=None,
+                        help="write loss curve + final IR/RR + wall time here")
     args = parser.parse_args()
 
     import jax
@@ -53,6 +59,7 @@ def main():
         fine_matching_confidence_threshold=0.02,
         lr=3e-4,
         buckets=(args.bucket,),
+        compute_dtype=args.compute_dtype,
     )
     b = args.bucket
     rng = np.random.RandomState(0)
@@ -66,14 +73,23 @@ def main():
     state = create_train_state(cfg, model, pairs[0], jax.random.PRNGKey(0), tx)
     step_fn = jax.jit(make_train_step(cfg, model, tx))
     key = jax.random.PRNGKey(7)
+    import time
+
+    curve = []
+    t_train0 = time.perf_counter()
     for step in range(1, args.steps + 1):
         state, metrics = step_fn(state, batch, key)
         if step % 50 == 0 or step == 1:
+            rec = {"step": step, "loss": float(metrics["loss"]),
+                   "PIR": float(metrics["PIR"]), "IR": float(metrics["IR"])}
+            curve.append(rec)
             print(
-                f"step {step}: loss={float(metrics['loss']):.4f} "
-                f"PIR={float(metrics['PIR']):.3f} IR={float(metrics['IR']):.3f}",
+                f"step {step}: loss={rec['loss']:.4f} "
+                f"PIR={rec['PIR']:.3f} IR={rec['IR']:.3f}",
                 flush=True,
             )
+    jax.block_until_ready(state.params)
+    t_train = time.perf_counter() - t_train0
 
     # ---- dump via the Tester (product surface)
     class _DS:
@@ -118,6 +134,21 @@ def main():
 
     print(f"\nfinal: inlier_ratio={np.mean(irs):.3f}  "
           f"registration_recall={np.mean(rr):.3f}  ({len(irs)} pairs)", flush=True)
+
+    if args.log_json:
+        import json
+
+        with open(args.log_json, "w") as f:
+            json.dump({
+                "compute_dtype": args.compute_dtype,
+                "steps": args.steps,
+                "bucket": args.bucket,
+                "pairs": args.pairs,
+                "train_wall_s": round(t_train, 2),
+                "curve": curve,
+                "inlier_ratio": float(np.mean(irs)),
+                "registration_recall": float(np.mean(rr)),
+            }, f, indent=1)
     return float(np.mean(irs)), float(np.mean(rr))
 
 
