@@ -69,14 +69,18 @@ def pack_pyramids(pyramids: Sequence[CloudPyramid]) -> CloudPyramid:
     return CloudPyramid(**fields)
 
 
-def pack_pairs(pairs: Sequence["PairInputs"]) -> "PairInputs":
+def pack_pairs(pairs: Sequence["PairInputs"],
+               require_pyramids: bool = True) -> "PairInputs":
     """Pack B same-bucket PairInputs into one flat packed PairInputs.
 
     The packed form is detected by the model via `src_count.ndim == 1`:
     point leaves are (B*N, ...) concatenations, counts are (B,) vectors,
     rot/trans gain a leading batch axis, and the pyramids carry globally
     offset indices. Every pair must already have host pyramids attached
-    (build them with `attach_pyramids` / data.pyramid.build_cloud_pyramid).
+    (build them with `attach_pyramids` / data.pyramid.build_cloud_pyramid)
+    — unless `require_pyramids=False`, for consumers that build them
+    device-side in the same program (ops/pyramid.py, serving prep="device"),
+    in which case the packed pyramids are None.
     """
     from roitr_tpu.models.roitr import PairInputs
 
@@ -91,12 +95,14 @@ def pack_pairs(pairs: Sequence["PairInputs"]) -> "PairInputs":
     if len(buckets) != 1:
         raise ValueError(
             f"packed batch needs one shared src/tgt bucket, got {sorted(buckets)}")
-    for p in pairs:
-        if p.src_pyramid is None or p.tgt_pyramid is None:
-            raise ValueError(
-                "packed batches require host pyramids on every pair "
-                "(device FPS/kNN is per-cloud)"
-            )
+    has_pyramids = all(
+        p.src_pyramid is not None and p.tgt_pyramid is not None for p in pairs)
+    if require_pyramids and not has_pyramids:
+        raise ValueError(
+            "packed batches require host pyramids on every pair "
+            "(build them, or pass require_pyramids=False for device-side "
+            "pyramid construction)"
+        )
 
     cat = lambda name: np.concatenate(
         [np.asarray(getattr(p, name)) for p in pairs], axis=0
@@ -113,8 +119,10 @@ def pack_pairs(pairs: Sequence["PairInputs"]) -> "PairInputs":
         tgt_count=np.asarray([int(p.tgt_count) for p in pairs], np.int32),
         rot=np.stack([np.asarray(p.rot) for p in pairs]),
         trans=np.stack([np.asarray(p.trans) for p in pairs]),
-        src_pyramid=pack_pyramids([p.src_pyramid for p in pairs]),
-        tgt_pyramid=pack_pyramids([p.tgt_pyramid for p in pairs]),
+        src_pyramid=pack_pyramids([p.src_pyramid for p in pairs])
+        if has_pyramids else None,
+        tgt_pyramid=pack_pyramids([p.tgt_pyramid for p in pairs])
+        if has_pyramids else None,
     )
 
 

@@ -68,13 +68,16 @@ class Matcher:
 
         "host": numpy kNN-33 PCA in _prepare — the dataset-identical path,
         but ~20 ms/pair of the 21.8 ms sustained serving cost on a
-        single-core host (PERFORMANCE.md). "device": normals are computed
-        inside the jitted program (ops/normals.py — the same math the test
-        suite certifies against the numpy twin), so the host only pads and
-        builds the cheap FPS/kNN pyramid. Caller-provided normals are always
-        honored either way (the reference's Open3D estimation lives in the
-        dataset workers, dataset/tdmatch.py:120-127 — a serving host has no
-        such pool).
+        single-core host (PERFORMANCE.md). "device": ALL geometry prep runs
+        inside the jitted program — normals (ops/normals.py, certified
+        against the numpy twin) AND the FPS/kNN pyramid (ops/pyramid.py,
+        bitwise-equal indices to data/pyramid.py) — so the host only pads
+        and packs. Device prep also shrinks the H2D payload ~4x (the
+        pyramid index tables dominate it; the tunnel moves ~50 MB/s —
+        tools/probe_serving_breakdown.py). Caller-provided normals are
+        always honored either way (the reference's Open3D estimation lives
+        in the dataset workers, dataset/tdmatch.py:120-127 — a serving host
+        has no such pool).
         """
         import jax
 
@@ -127,6 +130,23 @@ class Matcher:
                 x.tgt_points, x.tgt_count, k=k))
         return x
 
+    def _device_pyramids_packed(self, x):
+        """Build both sides' FPS/kNN pyramids inside the program.
+
+        method="exact": the host twin always uses the exact native KD-tree
+        regardless of cfg.knn_method, and packed batching only runs at
+        small buckets where exact top_k is cheap. Pyramids follow the
+        backbone's geometry inputs: raw source, target points."""
+        from roitr_tpu.ops.pyramid import build_pyramids_packed
+
+        cfg = self.cfg
+        build = lambda pts, cnt: build_pyramids_packed(
+            pts, cnt, strides=tuple(cfg.enc_strides),
+            nsample=tuple(cfg.enc_nsample), method="exact")
+        return x._replace(
+            src_pyramid=build(x.src_raw_points, x.src_count),
+            tgt_pyramid=build(x.tgt_points, x.tgt_count))
+
     def _get_fwd(self, bucket, pair, est=(False, False)):
         """Per-bucket jitted (params, packed) -> packed_corr [, full out]."""
         key = (bucket, est)
@@ -171,6 +191,8 @@ class Matcher:
         def run(p, packed):
             x = unpack_device(packed, treedef, spec)
             if mode == "map":
+                # pairs carry no pyramids under prep="device": the model's
+                # own device FPS/kNN path builds them per pair in-program
                 return jax.lax.map(
                     lambda px: _corr_pack(
                         self.model.apply(
@@ -179,6 +201,8 @@ class Matcher:
                     x,
                 )  # (B, C, 8)
             x = self._device_normals_packed(x, est)
+            if x.src_pyramid is None:
+                x = self._device_pyramids_packed(x)
             out = self.model.apply({"params": p}, x, train=False, with_gt=False)
             return _corr_pack(out)  # (B, C, 8)
 
@@ -194,7 +218,8 @@ class Matcher:
         params = restored["params"] if "params" in restored else restored
         return cls(cfg, params, **kw)
 
-    def _prepare(self, src_pcd, tgt_pcd, src_normals, tgt_normals):
+    def _prepare(self, src_pcd, tgt_pcd, src_normals, tgt_normals,
+                 device_pyramid=False):
         from roitr_tpu.data.loader import dict_to_pair
         from roitr_tpu.data.preprocess import (
             estimate_normals_np,
@@ -241,7 +266,14 @@ class Matcher:
             "rot": np.eye(3, dtype=np.float32),
             "trans": np.zeros((3, 1), np.float32),
         }
-        if self.cfg.host_pyramid:
+        # device_pyramid (match_batch under prep="device"): pyramids are
+        # built inside the jitted program (ops/pyramid.py — indices
+        # bitwise-equal to this host twin), which drops ~6 ms/pair of
+        # single-core host work AND ~80% of the H2D payload (the index
+        # tables dominate the packed buffer). Single match() keeps the host
+        # pyramid: one pair is RTT-latency-bound, and host/device prep stay
+        # bitwise-identical when the caller supplies sensor normals.
+        if self.cfg.host_pyramid and not device_pyramid:
             from roitr_tpu.data.pyramid import build_cloud_pyramid
 
             item["src_pyramid"] = build_cloud_pyramid(
@@ -332,8 +364,9 @@ class Matcher:
         match() (without descriptors)."""
         if mode not in ("auto", "packed", "map"):
             raise ValueError(f"unknown match_batch mode {mode!r}")
-        if not self.cfg.host_pyramid:
-            raise ValueError("match_batch requires cfg.host_pyramid=True")
+        if not self.cfg.host_pyramid and self.prep != "device":
+            raise ValueError(
+                "match_batch requires cfg.host_pyramid=True or prep='device'")
         from roitr_tpu.data.loader import stack_batch
         from roitr_tpu.data.packing import pack_pairs
         from roitr_tpu.utils.packing import pack_host
@@ -348,6 +381,7 @@ class Matcher:
                 np.ascontiguousarray(src, np.float32),
                 np.ascontiguousarray(tgt, np.float32),
                 sn, tn,
+                device_pyramid=self.prep == "device",
             )
             prepared.append(pair)
             ests.append(est)
@@ -387,8 +421,10 @@ class Matcher:
                 padded_group = group + [group[-1]] * (batch_size - real) \
                     if real < batch_size and len(idxs) >= batch_size else group
                 group_pairs = [prepared[i] for i in padded_group]
-                batch_pair = (pack_pairs(group_pairs) if use_mode == "packed"
-                              else stack_batch(group_pairs))
+                batch_pair = (
+                    pack_pairs(group_pairs,
+                               require_pyramids=self.prep != "device")
+                    if use_mode == "packed" else stack_batch(group_pairs))
                 fwd, spec, total = self._get_batch_fwd(
                     bucket, len(padded_group), batch_pair, use_mode, est)
                 inflight.append(

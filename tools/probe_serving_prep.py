@@ -10,10 +10,13 @@ stage cost alone.
 Run on TPU:  python tools/probe_serving_prep.py [n_pairs] [bucket]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -6,8 +6,9 @@ by self time from xprof's hlo_stats — the ground truth for where the
 remaining milliseconds go (micro-benchmarks of single ops measure ~2 ms
 dispatch overhead instead, CLAUDE.md).
 
-Usage: python tools/profile_hlo.py [bucket] [program]
-  program: backbone | full | train   (default backbone)
+Usage: python tools/profile_hlo.py [bucket] [program] [benchmark]
+  program:   backbone | full | train | packed   (default backbone)
+  benchmark: 3DMatch | 4DMatch                  (default 3DMatch)
 """
 
 import glob
@@ -22,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BUCKET = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
 PROGRAM = sys.argv[2] if len(sys.argv) > 2 else "backbone"
+BENCHMARK = sys.argv[3] if len(sys.argv) > 3 else "3DMatch"
 ITERS = 8
 
 
@@ -37,7 +39,7 @@ def build():
     from roitr_tpu.models.backbone import RIPointTransformer
     from roitr_tpu.models.roitr import RoITr
 
-    cfg = Config(benchmark="3DMatch", sinkhorn_iters=100,
+    cfg = Config(benchmark=BENCHMARK, sinkhorn_iters=100,
                  host_pyramid=True, knn_method="approx")
     pair = make_inputs(BUCKET, cfg)
 
