@@ -343,11 +343,15 @@ def main():
         (2048, Config(benchmark="3DMatch", sinkhorn_iters=100), 20, "n2048_default"),
         (2048, Config(benchmark="3DMatch", **prod), 30, "n2048_production"),
         (16384, Config(benchmark="3DMatch", **prod), 10, "n16384_production"),
-        # non-rigid path: factor=2 channels + adaptive matching live.
-        # vs_baseline null: the assumed figures are for the RIGID model
-        # (the 4D reference is factor=2 — ~4x the matmul FLOPs — and has
-        # no published or assumable GPU number)
-        (2048, Config(benchmark="4DMatch", **prod), 10, "n2048_4dmatch"),
+        # non-rigid path: factor=2 channels + adaptive matching live, at the
+        # SHIPPED 4D matching sizes (configs/test/fdmatch.yaml:46-51:
+        # num_est=128 -> adaptive capacity 512, fine topk 2 — Config
+        # defaults would inflate the matching stage 2x vs what a 4DMatch
+        # deployment runs). vs_baseline null: the assumed figures are for
+        # the RIGID model (the 4D reference is factor=2 and has no
+        # published or assumable GPU number)
+        (2048, Config(benchmark="4DMatch", num_est_coarse_corr=128,
+                      fine_matching_topk=2, **prod), 10, "n2048_4dmatch"),
     ]
     for bucket, cfg, iters, tag in points:
         fwd, params, pair, fence = build_forward(bucket, cfg)
@@ -428,25 +432,30 @@ def main():
         emit({"metric": "sustained_tester_pairs_per_sec_n2048", "value": 0.0,
               "unit": "pairs/sec", "vs_baseline": None, "error": str(e)[:200]})
 
-    # training throughput (no published reference number -> vs_baseline null)
-    for bucket, iters in ((2048, 8), (32768, 4)):
+    # training throughput (no published reference number -> vs_baseline null).
+    # The 32k bf16 line is the fast-training lever, convergence-certified on
+    # the overfit set (PERFORMANCE.md "bf16 fast-training certification").
+    for bucket, iters, dtype in ((2048, 8, "float32"), (32768, 4, "float32"),
+                                 (32768, 4, "bfloat16")):
+        suffix = "" if dtype == "float32" else "_bf16"
         try:
             cfg = Config(
                 benchmark="3DMatch", sinkhorn_iters=100, iter_size=1,
                 host_pyramid=(bucket > 4096),
                 knn_method="approx" if bucket > 4096 else "exact",
+                compute_dtype=dtype,
             )
             sps = bench_train(bucket, cfg, iters)
             emit({
-                "metric": f"train_steps_per_sec_n{bucket}",
+                "metric": f"train_steps_per_sec_n{bucket}{suffix}",
                 "value": round(sps, 3),
                 "unit": "steps/sec",
                 "vs_baseline": None,
                 "ms_per_step": round(1e3 / sps, 2),
             })
         except Exception as e:  # never lose the headline to an aux metric
-            emit({"metric": f"train_steps_per_sec_n{bucket}", "value": 0.0,
-                  "unit": "steps/sec", "vs_baseline": None,
+            emit({"metric": f"train_steps_per_sec_n{bucket}{suffix}",
+                  "value": 0.0, "unit": "steps/sec", "vs_baseline": None,
                   "error": str(e)[:200]})
 
     # offline-eval RANSAC: full 50k-hypothesis budget at 5k correspondences

@@ -18,6 +18,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from roitr_tpu.models.attention import masked_softmax  # noqa: F401  (re-export convenience)
 from roitr_tpu.ops.geometry import pairwise_sq_dist
@@ -144,6 +145,11 @@ def _topk_scatter_mask(scores: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(mask, -1, axis)
 
 
+# Module A/B switch for the fast mutual extraction path (profiling tools
+# flip this to measure the slow exact-cap path on identical inputs).
+FAST_FINE_MATCHING = True
+
+
 def fine_matching(
     ref_knn_points: jnp.ndarray,  # (P, K, 3)
     src_knn_points: jnp.ndarray,  # (P, K, 3)
@@ -174,8 +180,61 @@ def fine_matching(
     dead code: every config sets fine_matching_use_dustbin false).
     """
     p = score_mat.shape[0]
-    scores = jnp.exp(score_mat)
 
+    # Fast mutual extraction, entirely in slot space: every kept pair lies
+    # in its ref row's top-k BY CONSTRUCTION (mutual requires ref_top), so
+    # the (P, K, k) row-top-k layout holds the exact correspondence set —
+    # same K*k buffer, but NO (P, K*K)-wide global top-k (a 1.05 ms full
+    # sort at the 4DMatch-2048 point), no full-domain corr matrix, no
+    # one-hot scatter masks, and no scalar gathers (a 196k-element f32/bool
+    # gather lowers as a 1-2.4 ms custom fusion — element gathers miss the
+    # row-gather path). Column (src-side) top-k membership is tested as
+    # `logit >= k-th largest of the column`, and that per-column threshold
+    # rides THE SAME width-5 row gather as the src points and masks (rows
+    # are the cost, width is free — CLAUDE.md). Ties at the column k-th
+    # value admit every tied entry where the reference's scatter keeps the
+    # lowest-index k; real logits are tie-free almost surely and padded
+    # duplicates are masked, so set parity holds (asserted vs the torch
+    # oracle and the slow path in tests/test_matching_heads.py).
+    # Consumers treat the buffer as a masked set (tester/serving/eval),
+    # so slot order is free. Selection runs in LOGIT space (exp is
+    # monotonic); only the k kept slot scores get exponentiated.
+    fast = (FAST_FINE_MATCHING and mutual and not use_dustbin
+            and k <= score_mat.shape[-1])
+    if fast:
+        kk = score_mat.shape[1]
+        logits_top, ridx = jax.lax.top_k(score_mat, k)  # (P, K, k), axis=2
+        col_sorted, _ = jax.lax.top_k(jnp.swapaxes(score_mat, 1, 2), k)
+        col_kth = col_sorted[..., -1]  # (P, K): k-th largest per src column
+        table = jnp.concatenate(
+            [src_knn_points.reshape(p * kk, 3),
+             src_knn_masks.reshape(p * kk, 1).astype(jnp.float32),
+             col_kth.reshape(p * kk, 1)], axis=1)
+        base = (jnp.arange(p, dtype=jnp.int32) * kk)[:, None, None]
+        g = table[base + ridx]  # (P, K, k, 5) — one packed row gather
+        log_thr = float(np.log(confidence_threshold)) \
+            if confidence_threshold > 0 else -np.inf
+        keep = (
+            (logits_top > log_thr)
+            & (logits_top >= g[..., 4])
+            & (g[..., 3] > 0.0)
+            & ref_knn_masks[:, :, None]
+            & patch_masks[:, None, None]
+        )
+        val = jnp.exp(logits_top)
+        if use_global_score and global_scores is not None:
+            val = val * global_scores[:, None, None]
+        val = jnp.where(keep, val, 0.0)
+        ref_pts = jnp.broadcast_to(
+            ref_knn_points[:, :, None, :], (p, kk, k, 3))
+        return FineCorr(
+            ref_pts.reshape(-1, 3),
+            g[..., :3].reshape(-1, 3),
+            val.reshape(-1),
+            (val > 0.0).reshape(-1),
+        )
+
+    scores = jnp.exp(score_mat)
     ref_top = _topk_scatter_mask(scores, k, axis=2)
     src_top = _topk_scatter_mask(scores, k, axis=1)
     above = scores > confidence_threshold
@@ -192,6 +251,7 @@ def fine_matching(
 
     if use_global_score and global_scores is not None:
         scores = scores * global_scores[:, None, None]
+
     scores = jnp.where(corr_mat, scores, 0.0)
 
     # max matches per patch: <= K*k under AND (row top-k bound); <= 2*K*k

@@ -187,6 +187,47 @@ def test_fine_matching_or_mode_and_dustbin(rng, mutual, use_dustbin):
     assert got == expect
 
 
+def test_fine_matching_fast_path_equals_slow(rng):
+    """The fast mutual extraction (row-top-k slots + flat bool gather) and
+    the exact-cap global top-k path must yield the same correspondence SET
+    at a production-like shape, incl. global scores and invalid patches."""
+    from roitr_tpu.models import matching
+
+    p, kk, topk, thr = 16, 64, 3, 0.05
+    ref_pts = rng.rand(p, kk, 3).astype(np.float32)
+    src_pts = rng.rand(p, kk, 3).astype(np.float32)
+    ref_m = rng.rand(p, kk) > 0.15
+    src_m = rng.rand(p, kk) > 0.15
+    scores_log = rng.randn(p, kk, kk).astype(np.float32)
+    patch_m = rng.rand(p) > 0.2
+    gscores = rng.rand(p).astype(np.float32)
+
+    def run():
+        out = fine_matching(
+            jnp.array(ref_pts), jnp.array(src_pts),
+            jnp.array(ref_m), jnp.array(src_m),
+            jnp.array(scores_log), jnp.array(patch_m),
+            global_scores=jnp.array(gscores), use_global_score=True,
+            k=topk, mutual=True, confidence_threshold=thr,
+        )
+        sel = np.nonzero(np.asarray(out.masks))[0]
+        return {
+            (tuple(np.round(np.asarray(out.ref_points)[i], 5)),
+             tuple(np.round(np.asarray(out.src_points)[i], 5)),
+             round(float(np.asarray(out.scores)[i]), 5))
+            for i in sel
+        }
+
+    assert matching.FAST_FINE_MATCHING  # default on
+    got_fast = run()
+    matching.FAST_FINE_MATCHING = False
+    try:
+        got_slow = run()
+    finally:
+        matching.FAST_FINE_MATCHING = True
+    assert got_fast == got_slow and len(got_fast) > 0
+
+
 def test_gt_generator_distribution(rng):
     c = 50
     idx = np.stack([np.arange(c), np.arange(c)[::-1]], 1).astype(np.int32)
