@@ -229,7 +229,8 @@ def bench_sustained_tester(bucket, cfg, n_pairs):
             tgt = (src @ rot.T + trans.T).astype(np.float32)[: bucket - 128]
             return preprocess_pair(
                 rng, src, tgt, rot, trans, buckets=cfg.buckets,
-                build_pyramid=cfg.host_pyramid)
+                build_pyramid=cfg.host_pyramid,
+                device_prep=getattr(cfg, "device_prep", False))
 
     import jax
 
@@ -417,20 +418,28 @@ def main():
                   "error": str(e)[:200]})
 
     # sustained Tester loop (synthetic split, real host pipeline + dumps) —
-    # the reference's actual test-pass cost shape (lib/tester.py:19-69)
-    try:
-        pps = bench_sustained_tester(
-            2048, Config(benchmark="3DMatch", buckets=(2048,), **prod), 16)
-        emit({
-            "metric": "sustained_tester_pairs_per_sec_n2048",
-            "value": round(pps, 3),
-            "unit": "pairs/sec",
-            "vs_baseline": None,
-            "ms_per_pair": round(1e3 / pps, 2),
-        })
-    except Exception as e:
-        emit({"metric": "sustained_tester_pairs_per_sec_n2048", "value": 0.0,
-              "unit": "pairs/sec", "vs_baseline": None, "error": str(e)[:200]})
+    # the reference's actual test-pass cost shape (lib/tester.py:19-69).
+    # Headline: cfg.device_prep (normals + exact pyramid inside the jitted
+    # program, VERDICT r4 #2 — the host pipeline was ~1.15 s/pair of prep on
+    # this 1-core host); the _hostprep line keeps the dataset-identical prep
+    # path measured (production hosts hide it in loader workers).
+    for suffix, extra in (("", dict(device_prep=True, host_pyramid=False,
+                                    knn_method="approx", sinkhorn_iters=100)),
+                          ("_hostprep", prod)):
+        try:
+            pps = bench_sustained_tester(
+                2048, Config(benchmark="3DMatch", buckets=(2048,), **extra), 16)
+            emit({
+                "metric": f"sustained_tester_pairs_per_sec_n2048{suffix}",
+                "value": round(pps, 3),
+                "unit": "pairs/sec",
+                "vs_baseline": None,
+                "ms_per_pair": round(1e3 / pps, 2),
+            })
+        except Exception as e:
+            emit({"metric": f"sustained_tester_pairs_per_sec_n2048{suffix}",
+                  "value": 0.0, "unit": "pairs/sec", "vs_baseline": None,
+                  "error": str(e)[:200]})
 
     # training throughput (no published reference number -> vs_baseline null).
     # The 32k bf16 line is the fast-training lever, convergence-certified on

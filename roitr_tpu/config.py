@@ -68,6 +68,14 @@ class Config:
     # precompute the FPS/kNN pyramid on the host (overlapped in the loader;
     # device fallback when False). ~2x device speedup at 16k+ points.
     host_pyramid: bool = False
+    # run ALL per-pair geometry prep (normal estimation + exact FPS/kNN
+    # pyramid) INSIDE the jitted program instead of in the dataset workers
+    # (ops/pyramid.py device_prep_pair). The reference hides its ~1 s/pair
+    # Open3D prep in a multi-worker DataLoader (lib/tester.py:19-69 via
+    # main.py:113-127); on few-core hosts the chip does the same work in
+    # ~1 ms. Overrides host_pyramid for prep placement; normals differ from
+    # the host path only at closed-form-vs-LAPACK eigensolver tolerance.
+    device_prep: bool = False
 
     # ---- coarse matching ----
     matching_radius: float = 0.05

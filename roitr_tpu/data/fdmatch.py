@@ -104,12 +104,18 @@ class FDMatchDataset:
         if trans.ndim == 1:
             trans = trans[:, None]
 
-        src_normals = normal_redirect_np(
-            src_pcd, estimate_normals_np(src_pcd, cfg.normal_knn), self.view_point
-        )
-        tgt_normals = normal_redirect_np(
-            tgt_pcd, estimate_normals_np(tgt_pcd, cfg.normal_knn), self.view_point
-        )
+        if getattr(cfg, "device_prep", False):
+            # normals + pyramids are built inside the jitted program
+            # (ops/pyramid.py device_prep_pair); placeholders only
+            src_normals = np.zeros_like(src_pcd)
+            tgt_normals = np.zeros_like(tgt_pcd)
+        else:
+            src_normals = normal_redirect_np(
+                src_pcd, estimate_normals_np(src_pcd, cfg.normal_knn), self.view_point
+            )
+            tgt_normals = normal_redirect_np(
+                tgt_pcd, estimate_normals_np(tgt_pcd, cfg.normal_knn), self.view_point
+            )
 
         bucket = pick_bucket(max(src_pcd.shape[0], tgt_pcd.shape[0]), cfg.buckets)
         s_pts, s_nrm, s_feats, s_cnt = pad_cloud(src_deformed, src_normals, bucket)
@@ -132,7 +138,7 @@ class FDMatchDataset:
         }
         if metric_index is not None:
             out["metric_index"] = metric_index
-        if cfg.host_pyramid:
+        if cfg.host_pyramid and not getattr(cfg, "device_prep", False):
             from roitr_tpu.data.pyramid import build_cloud_pyramid
 
             out["src_pyramid"] = build_cloud_pyramid(raw, s_cnt)

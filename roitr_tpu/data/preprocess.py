@@ -147,11 +147,16 @@ def preprocess_pair(
     src_raw_pcd: Optional[np.ndarray] = None,
     metric_index: Optional[np.ndarray] = None,
     build_pyramid: bool = False,
+    device_prep: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Full host pipeline for one pair -> dict of padded arrays.
 
     `src_raw_pcd` (4DMatch): raw source geometry when `src_pcd` is the
     flow-deformed cloud; defaults to src_pcd (rigid).
+    `device_prep` skips the expensive host stages (normal estimation and the
+    pyramid build) — the consumer's jitted program recomputes both on device
+    (ops/pyramid.py device_prep_pair); the zero normals placeholders are
+    overwritten in-program before the model reads them.
     """
     if trans.ndim == 1:
         trans = trans[:, None]
@@ -169,12 +174,16 @@ def preprocess_pair(
     if src_raw_pcd is None:
         src_raw_pcd = src_pcd
 
-    src_normals = normal_redirect_np(
-        src_raw_pcd, estimate_normals_np(src_raw_pcd, normal_knn), view_point
-    )
-    tgt_normals = normal_redirect_np(
-        tgt_pcd, estimate_normals_np(tgt_pcd, normal_knn), view_point
-    )
+    if device_prep:
+        src_normals = np.zeros_like(src_raw_pcd)
+        tgt_normals = np.zeros_like(tgt_pcd)
+    else:
+        src_normals = normal_redirect_np(
+            src_raw_pcd, estimate_normals_np(src_raw_pcd, normal_knn), view_point
+        )
+        tgt_normals = normal_redirect_np(
+            tgt_pcd, estimate_normals_np(tgt_pcd, normal_knn), view_point
+        )
 
     bucket = pick_bucket(max(src_pcd.shape[0], tgt_pcd.shape[0]), buckets)
     s_pts, s_nrm, s_feats, s_cnt = pad_cloud(src_pcd, src_normals, bucket)
@@ -197,7 +206,7 @@ def preprocess_pair(
     }
     if metric_index is not None:
         out["metric_index"] = metric_index
-    if build_pyramid:
+    if build_pyramid and not device_prep:
         from roitr_tpu.data.pyramid import build_cloud_pyramid
 
         # the backbone's pyramid is built on the raw source geometry

@@ -84,4 +84,5 @@ class TDMatchDataset:
             normal_knn=self.config.normal_knn,
             view_point=self.view_point,
             build_pyramid=self.config.host_pyramid,
+            device_prep=getattr(self.config, "device_prep", False),
         )

@@ -98,24 +98,35 @@ class Tester:
             params = restored["params"] if "params" in restored else restored
         self.params = params
         self.dp = max(int(getattr(cfg, "dp_size", 1) or 1), 1)
+
+        # cfg.device_prep: the dataset ships zero-normal, pyramid-free pairs
+        # and the jitted program rebuilds both (VERDICT r4 #2 — the host
+        # pipeline was ~1 s/pair of prep for ~4 ms of device compute on this
+        # 1-core host; the reference hides the same cost in DataLoader
+        # workers, lib/tester.py:19-69 via main.py:113-127)
+        dev_prep = bool(getattr(cfg, "device_prep", False))
+
+        def apply_one(p, x):
+            if dev_prep:
+                from roitr_tpu.ops.pyramid import device_prep_packed, device_prep_pair
+
+                x = (device_prep_packed(x, cfg) if x.src_count.ndim
+                     else device_prep_pair(x, cfg))
+            return self.model.apply({"params": p}, x, train=False)
+
         if self.dp > 1:
             from roitr_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
             self.mesh = make_mesh(self.dp)
             rep, bsh = replicated(self.mesh), batch_sharding(self.mesh)
             self._fwd_sharded = jax.jit(
-                lambda p, xs: jax.vmap(
-                    lambda x: self.model.apply({"params": p}, x, train=False),
-                    in_axes=0,
-                )(xs),
+                lambda p, xs: jax.vmap(lambda x: apply_one(p, x), in_axes=0)(xs),
                 in_shardings=(rep, bsh),
                 out_shardings=bsh,
             )
             self.params = jax.device_put(self.params, rep)
         # one jit cache entry per bucket size (single-device path + dp tail)
-        self._fwd = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x, train=False)
-        )
+        self._fwd = jax.jit(apply_one)
 
     def _items(self, n):
         pool = None
@@ -141,8 +152,9 @@ class Tester:
         # pairs into ONE flat packed program per mesh shard (data/packing.py)
         pack = max(int(getattr(self.cfg, "batch_size", 1) or 1), 1) \
             if getattr(self.cfg, "packed_batch", False) else 1
-        if pack > 1 and not self.cfg.host_pyramid:
-            raise ValueError("packed_batch requires host_pyramid")
+        dev_prep = bool(getattr(self.cfg, "device_prep", False))
+        if pack > 1 and not (self.cfg.host_pyramid or dev_prep):
+            raise ValueError("packed_batch requires host_pyramid or device_prep")
         if self.dp > 1 or pack > 1:
             from roitr_tpu.data.packing import pack_pairs
             from roitr_tpu.data.synthetic import stack_pairs
@@ -158,7 +170,8 @@ class Tester:
                 pairs = [g[2] for g in group]
                 if pack > 1:
                     shards = [
-                        pack_pairs(pairs[i : i + pack])
+                        pack_pairs(pairs[i : i + pack],
+                                   require_pyramids=not dev_prep)
                         for i in range(0, group_size, pack)
                     ]
                 else:

@@ -163,6 +163,7 @@ def fine_matching(
     confidence_threshold: float = 0.05,
     use_global_score: bool = False,
     use_dustbin: bool = False,
+    allow_fast: bool = True,
 ) -> FineCorr:
     """Point matching inside matched patches (reference modules.py:216-324).
 
@@ -199,7 +200,14 @@ def fine_matching(
     # Consumers treat the buffer as a masked set (tester/serving/eval),
     # so slot order is free. Selection runs in LOGIT space (exp is
     # monotonic); only the k kept slot scores get exponentiated.
-    fast = (FAST_FINE_MATCHING and mutual and not use_dustbin
+    # allow_fast=False: the TRAIN step measured the fast path ~4 ms/step
+    # SLOWER at the 2048 bucket (fast med 25.8 vs slow 21.8 ms/step,
+    # tools/bisect_train_regression.py on-chip, 2026-08-19; 32k unchanged) —
+    # inside value_and_grad the extraction's packed 5-wide table gather
+    # costs more than the slow path's flat top-k, the exact opposite of the
+    # inference profile it was built from. Training callers pass
+    # allow_fast=False; inference keeps the fast path (-1.05 ms at 4D 2k).
+    fast = (allow_fast and FAST_FINE_MATCHING and mutual and not use_dustbin
             and k <= score_mat.shape[-1])
     if fast:
         kk = score_mat.shape[1]

@@ -333,6 +333,7 @@ class RoITr(nn.Module):
             confidence_threshold=cfg.fine_matching_confidence_threshold,
             use_global_score=cfg.fine_matching_use_global_score,
             use_dustbin=cfg.fine_matching_use_dustbin,
+            allow_fast=not train,  # slow path is faster inside the train step
         )
         out["tgt_corr_points"] = fine.ref_points
         out["src_corr_points"] = fine.src_points
@@ -579,6 +580,7 @@ class RoITr(nn.Module):
             confidence_threshold=cfg.fine_matching_confidence_threshold,
             use_global_score=cfg.fine_matching_use_global_score,
             use_dustbin=cfg.fine_matching_use_dustbin,
+            allow_fast=not train,  # slow path is faster inside the train step
         )
         out["tgt_corr_points"] = fine.ref_points.reshape(b, -1, 3)
         out["src_corr_points"] = fine.src_points.reshape(b, -1, 3)

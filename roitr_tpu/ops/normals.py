@@ -87,11 +87,22 @@ def _smallest_eigvec_3x3(cov: jnp.ndarray) -> jnp.ndarray:
     return vec
 
 
-def _pca_normals(points, neigh, valid, k, view_point):
-    """Shared tail: neighborhoods (N, k, 3) -> oriented unit normals (N, 3)."""
-    mean = jnp.mean(neigh, axis=1, keepdims=True)
-    centered = neigh - mean
-    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+def _pca_normals(points, neigh, valid, slot_valid, view_point):
+    """Shared tail: neighborhoods (N, k, 3) -> oriented unit normals (N, 3).
+
+    slot_valid (N, k) marks REAL neighbor slots: when a cloud has fewer
+    valid points than k, masked_knn's trailing slots hold pad-row indices
+    (zero coordinates) that would bias the covariance toward the origin.
+    Masking them and normalizing by the true slot count reproduces the
+    numpy twin's k=min(k, count) semantics exactly (estimate_normals_np);
+    for full neighborhoods the weights are all-ones and the math is
+    unchanged.
+    """
+    w = slot_valid[..., None].astype(neigh.dtype)
+    cnt = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)  # (N, 1, 1)
+    mean = jnp.sum(neigh * w, axis=1, keepdims=True) / cnt
+    centered = (neigh - mean) * w
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / cnt  # (N,1,1) bcast
     # smallest-eigenvalue vector of the covariance = the surface normal
     normals = _smallest_eigvec_3x3(cov)
 
@@ -114,8 +125,12 @@ def estimate_normals(
     """
     idx, _ = masked_knn(points, points, count, k)
     neigh = knn_gather(points, idx)  # (N, k, 3)
+    # slots are ascending-sorted, so ranks >= count are the +inf-masked pads
+    slot_valid = jnp.arange(idx.shape[1], dtype=jnp.int32)[None, :] < jnp.asarray(
+        count, jnp.int32
+    )
     return _pca_normals(points, neigh, prefix_mask(points.shape[0], count),
-                        k, view_point)
+                        slot_valid, view_point)
 
 
 def estimate_normals_segmented(
@@ -146,4 +161,10 @@ def estimate_normals_segmented(
     neigh = knn_gather(points, flat_idx)  # (B*n, kk, 3) plain row gather
     rank = jnp.arange(n, dtype=jnp.int32)[None, :]
     valid = (rank < counts[:, None].astype(jnp.int32)).reshape(-1)
-    return _pca_normals(points, neigh, valid, k, view_point)
+    kk = idx.shape[-1]
+    slot_valid = jnp.broadcast_to(
+        jnp.arange(kk, dtype=jnp.int32)[None, None, :]
+        < counts[:, None, None].astype(jnp.int32),
+        (b, n, kk),
+    ).reshape(b * n, kk)
+    return _pca_normals(points, neigh, valid, slot_valid, view_point)

@@ -146,3 +146,59 @@ def build_pyramids_packed(
         shaped = off.reshape((b,) + (1,) * (arr.ndim - 1))
         out[name] = (arr + shaped).reshape((-1,) + arr.shape[2:]).astype(jnp.int32)
     return CloudPyramid(**out)
+
+
+def device_prep_pair(pair, cfg, est=(True, True), pyramid=True):
+    """In-program geometry prep for ONE padded pair: normals for the sides
+    the caller didn't supply, plus both sides' exact FPS/kNN pyramids.
+
+    The device twin of the host dataset prep (data/preprocess.py
+    preprocess_pair: estimate_normals_np + build_cloud_pyramid) — pyramid
+    indices are bitwise-equal to the host build (tests/test_device_pyramid),
+    normals are certified against the numpy twin (tests/test_ops_normals).
+    Source normals/pyramid come from the RAW source geometry, like the
+    datasets (reference fdmatch.py:85-90, RIGA_v2.py:62). method="exact"
+    regardless of cfg.knn_method so device prep never drifts from the host
+    path (ADVICE r4 #1).
+    """
+    from roitr_tpu.ops.normals import estimate_normals
+
+    k = cfg.normal_knn
+    if est[0]:
+        pair = pair._replace(
+            src_normals=estimate_normals(pair.src_raw_points, pair.src_count, k=k))
+    if est[1]:
+        pair = pair._replace(
+            tgt_normals=estimate_normals(pair.tgt_points, pair.tgt_count, k=k))
+    if not pyramid:
+        return pair
+    build = lambda pts, cnt: build_pyramids_packed(
+        pts, jnp.reshape(jnp.asarray(cnt, jnp.int32), (1,)),
+        strides=tuple(cfg.enc_strides), nsample=tuple(cfg.enc_nsample),
+        method="exact")
+    return pair._replace(
+        src_pyramid=build(pair.src_raw_points, pair.src_count),
+        tgt_pyramid=build(pair.tgt_points, pair.tgt_count))
+
+
+def device_prep_packed(pair, cfg, est=(True, True), pyramid=True):
+    """device_prep_pair for a PACKED flat batch ((B*N, ...) leaves, (B,)
+    counts) — segmented normals + batch pyramid build, indices offset into
+    the flat layout (data/packing.py twin)."""
+    from roitr_tpu.ops.normals import estimate_normals_segmented
+
+    k = cfg.normal_knn
+    if est[0]:
+        pair = pair._replace(src_normals=estimate_normals_segmented(
+            pair.src_raw_points, pair.src_count, k=k))
+    if est[1]:
+        pair = pair._replace(tgt_normals=estimate_normals_segmented(
+            pair.tgt_points, pair.tgt_count, k=k))
+    if not pyramid:
+        return pair
+    build = lambda pts, cnt: build_pyramids_packed(
+        pts, cnt, strides=tuple(cfg.enc_strides),
+        nsample=tuple(cfg.enc_nsample), method="exact")
+    return pair._replace(
+        src_pyramid=build(pair.src_raw_points, pair.src_count),
+        tgt_pyramid=build(pair.tgt_points, pair.tgt_count))

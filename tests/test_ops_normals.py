@@ -75,3 +75,37 @@ def test_device_normals_match_numpy_twin(rng):
     # sign is fixed by the shared viewpoint redirect; require agreement except
     # where the neighborhood is genuinely ambiguous
     assert (dots > 0.999).mean() > 0.98, (dots.min(), (dots > 0.999).mean())
+
+
+def test_normals_small_cloud_matches_numpy_twin(rng):
+    """ADVICE r4 #2: clouds with fewer valid points than normal_knn must not
+    pull zero-coordinate pad rows into the PCA covariance. The masked PCA
+    reproduces the numpy twin's k=min(k, count) semantics exactly."""
+    from roitr_tpu.data.preprocess import estimate_normals_np, normal_redirect_np
+    from roitr_tpu.ops.normals import estimate_normals_segmented
+
+    count = 10  # < k=33
+    pts = np.zeros((64, 3), np.float32)
+    # offset cloud so an origin bias would visibly rotate the normals
+    pts[:count] = rng.randn(count, 3).astype(np.float32) * 0.1 + 3.0
+    host = normal_redirect_np(
+        pts[:count], estimate_normals_np(pts[:count], k=33), np.zeros(3, np.float32)
+    )
+    dev = np.asarray(estimate_normals(jnp.array(pts), count, k=33))[:count]
+    dots = np.sum(host * dev, axis=-1)
+    assert dots.min() > 0.999, dots
+
+    # segmented variant: one short segment packed next to a full one
+    full = rng.randn(64, 3).astype(np.float32)
+    packed = np.concatenate([pts, full], axis=0)
+    seg = np.asarray(
+        estimate_normals_segmented(jnp.array(packed), jnp.array([count, 64]), k=33)
+    )
+    dots = np.sum(host * seg[:count], axis=-1)
+    assert dots.min() > 0.999, dots
+    assert (seg[count:64] == 0).all()  # pad rows stay zeroed
+    host_full = normal_redirect_np(
+        full, estimate_normals_np(full, k=33), np.zeros(3, np.float32)
+    )
+    dots_full = np.sum(host_full * seg[64:], axis=-1)
+    assert (dots_full > 0.999).mean() > 0.98

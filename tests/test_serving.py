@@ -238,16 +238,21 @@ def test_device_prep_matches_host_prep(pyramid_matcher, device_prep_matcher):
 
 def test_device_prep_honors_sensor_normals(pyramid_matcher, device_prep_matcher):
     """Caller-provided normals bypass estimation entirely in BOTH prep
-    modes — outputs must be bitwise identical between them."""
+    modes. Since round 5, single-pair match() under prep='device' also
+    builds its pyramid in-program (VERDICT r4 #2): index fields are bitwise
+    host-equal (tests/test_device_pyramid.py) but the 3-NN up-interpolation
+    weights round differently at fp32, so outputs are allclose rather than
+    bitwise — the correspondence SET must still be identical."""
     rng = np.random.RandomState(9)
     src = rng.rand(100, 3).astype(np.float32)
     tgt = rng.rand(96, 3).astype(np.float32)
-    sn = normal_like_z = np.tile(np.array([[0, 0, 1]], np.float32), (100, 1))
+    sn = np.tile(np.array([[0, 0, 1]], np.float32), (100, 1))
     tn = np.tile(np.array([[0, 0, 1]], np.float32), (96, 1))
     a = pyramid_matcher.match(src, tgt, src_normals=sn, tgt_normals=tn)
     b = device_prep_matcher.match(src, tgt, src_normals=sn, tgt_normals=tn)
-    np.testing.assert_array_equal(a["src_corr_pts"], b["src_corr_pts"])
-    np.testing.assert_array_equal(a["confidence"], b["confidence"])
+    assert _corr_set(a) == _corr_set(b)
+    np.testing.assert_allclose(
+        np.sort(a["confidence"]), np.sort(b["confidence"]), rtol=1e-4, atol=1e-6)
 
 
 def test_device_prep_match_batch(device_prep_matcher):
