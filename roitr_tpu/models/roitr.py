@@ -290,14 +290,15 @@ class RoITr(nn.Module):
         out["src_node_corr_knn_masks"] = src_knn_masks
         out["tgt_node_corr_knn_masks"] = tgt_knn_masks
 
-        # ---- 5. optimal transport (reference :150-153). Inference takes
-        # the fused lane-major Pallas kernel by default (1.8 vs 4.5 ms at
-        # (256, 65, 65) x 100 on v5e, exact to ~7e-6 — the OT stage is
-        # >50% of the 2k-bucket forward); training keeps the
-        # differentiable XLA scan (the kernel defines no VJP).
+        # ---- 5. optimal transport (reference :150-153). The fused
+        # lane-major Pallas kernel is the default on TPU (1.8 vs 4.5 ms at
+        # (256, 65, 65) x 100 on v5e forward, exact to ~7e-6 — the OT stage
+        # is >50% of the 2k-bucket forward); since round 5 it also carries
+        # an on-core backward (trajectory-recompute VJP), so training takes
+        # it too where the stacks fit VMEM (log_sinkhorn_ot falls back to
+        # the checkpointed XLA scan otherwise).
         use_pallas = (
-            (not train)
-            and cfg.sinkhorn_backend == "pallas"
+            cfg.sinkhorn_backend == "pallas"
             and jax.default_backend() == "tpu"
         )
         c = src_point_feats.shape[-1]
@@ -313,6 +314,7 @@ class RoITr(nn.Module):
             # while_loop has no reverse-mode derivative, and training
             # keeps the reference's fixed 100 iterations anyway
             tol=0.0 if train else cfg.sinkhorn_tol,
+            differentiable=train,
         )
         out["matching_scores"] = matching_scores  # (P, K+1, K+1); row: tgt, col: src
 
@@ -542,8 +544,7 @@ class RoITr(nn.Module):
 
         # ---- optimal transport over all B*P patches at once (per-patch op)
         use_pallas = (
-            (not train)
-            and cfg.sinkhorn_backend == "pallas"
+            cfg.sinkhorn_backend == "pallas"
             and jax.default_backend() == "tpu"
         )
         c = src_point_feats.shape[-1]
@@ -560,6 +561,7 @@ class RoITr(nn.Module):
             num_iter=cfg.sinkhorn_iters,
             backend="pallas" if use_pallas else "xla",
             tol=0.0 if train else cfg.sinkhorn_tol,
+            differentiable=train,
         )
         out["matching_scores"] = matching_scores.reshape(b, p, k + 1, k + 1)
 

@@ -22,6 +22,7 @@ def log_sinkhorn_ot(
     num_iter: int = 100,
     backend: str = "xla",
     tol: float = 0.0,
+    differentiable: bool = False,
 ) -> jnp.ndarray:
     """scores (B, M, N), row_masks (B, M), col_masks (B, N), alpha scalar
     (learnable dustbin score) -> log assignment matrix (B, M+1, N+1).
@@ -65,7 +66,9 @@ def log_sinkhorn_ot(
     log_nu = jnp.where(padded_col_invalid, -_INF, log_nu)
 
     if backend == "pallas":
-        # fused VMEM-resident iteration (inference path; no VJP defined)
+        # fused VMEM-resident iteration; differentiable=True additionally
+        # requires the backward kernel's trajectory stacks to fit VMEM
+        # (supported_shape_bwd) — otherwise fall through to the XLA scan
         if tol > 0.0:
             import warnings
 
@@ -78,9 +81,15 @@ def log_sinkhorn_ot(
         from roitr_tpu.ops.pallas.sinkhorn_kernel import (
             sinkhorn_iterate_pallas,
             supported_shape,
+            supported_shape_bwd,
         )
 
-        if supported_shape(m + 1, n + 1):
+        ok = (
+            supported_shape_bwd(m + 1, n + 1, num_iter)
+            if differentiable
+            else supported_shape(m + 1, n + 1)
+        )
+        if ok:
             out = sinkhorn_iterate_pallas(padded, log_mu, log_nu, num_iter)
             return out - norm[:, None, None]
         # oversized patches would blow the kernel's VMEM budget — fall

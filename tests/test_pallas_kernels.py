@@ -16,7 +16,7 @@ def test_pallas_sinkhorn_matches_xla(rng, monkeypatch):
 
     orig = pl.pallas_call
     monkeypatch.setattr(
-        sk.pl, "pallas_call", lambda *a, **k: orig(*a, interpret=True, **k)
+        sk.pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
     )
 
     b, m, n = 4, 9, 7
@@ -36,6 +36,60 @@ def test_pallas_sinkhorn_matches_xla(rng, monkeypatch):
     )
     valid = ref > -1e5
     np.testing.assert_allclose(got[valid], ref[valid], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_sinkhorn_backward_matches_xla_scan(rng, monkeypatch):
+    """The on-core trajectory-recompute VJP (interpret mode) == AD through
+    the checkpointed XLA scan: dscores and dalpha (learnable dustbin) at
+    fp32 tolerance, under realistic masks and a cotangent that only reads
+    valid entries (the fine loss never touches -1e6 masked slots — whose
+    +-1e6 exponent arithmetic is the one place the two backends' rounding
+    legitimately diverges)."""
+    from jax.experimental import pallas as pl
+
+    import roitr_tpu.ops.pallas.sinkhorn_kernel as sk
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        sk.pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    )
+
+    b, k, t = 4, 8, 20
+    scores = jnp.asarray(rng.randn(b, k, k).astype(np.float32))
+    row_masks = jnp.asarray(rng.rand(b, k) > 0.25)
+    col_masks = jnp.asarray(rng.rand(b, k) > 0.25)
+    alpha = jnp.float32(0.7)
+    valid = (
+        jnp.concatenate([row_masks, jnp.ones((b, 1), bool)], 1)[:, :, None]
+        & jnp.concatenate([col_masks, jnp.ones((b, 1), bool)], 1)[:, None, :]
+    )
+    proj = jnp.asarray(rng.randn(b, k + 1, k + 1).astype(np.float32)) * valid
+
+    def loss(backend, s, a):
+        out = log_sinkhorn_ot(s, row_masks, col_masks, a, num_iter=t,
+                              backend=backend, differentiable=True)
+        return jnp.sum(out * proj)
+
+    g_x = jax.grad(loss, argnums=(1, 2))("xla", scores, alpha)
+    g_p = jax.grad(loss, argnums=(1, 2))("pallas", scores, alpha)
+    for name, a, b_ in zip(("dscores", "dalpha"), g_x, g_p):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
+def test_pallas_sinkhorn_bwd_vmem_gate():
+    """Training shapes gate on the backward's trajectory-stack budget: the
+    production (65, 65) x 100 fits; doubling the patch grid must not."""
+    from roitr_tpu.ops.pallas.sinkhorn_kernel import (
+        supported_shape,
+        supported_shape_bwd,
+    )
+
+    assert supported_shape_bwd(65, 65, 100)
+    assert not supported_shape_bwd(129, 129, 100)
+    # bwd support is strictly tighter than fwd support
+    assert supported_shape(97, 97) and not supported_shape_bwd(97, 97, 400)
 
 
 def test_pallas_sinkhorn_oversized_falls_back(rng):

@@ -175,6 +175,35 @@ valid = (np.asarray(rmask)[:, :, None] & np.asarray(cmask)[:, None, :])
 err = np.max(np.abs(a[:, :32, :32] - b[:, :32, :32])[valid])
 assert err < 1e-4, f"sinkhorn pallas vs xla on chip: {err:.2e}"
 print(f"sinkhorn ok ({err:.1e})")
+
+# 3b. Sinkhorn trajectory-recompute backward at the PRODUCTION training
+# shape (P=128 gt-corr patches, 65x65 OT, 100 iterations — the VMEM
+# budget the supported_shape_bwd gate certifies), vs AD through the
+# checkpointed XLA scan. Cotangent reads only valid entries, like the
+# fine loss (masked -1e6 slots are where +-1e6 exponent rounding differs
+# legitimately between the backends).
+P_SK, K_SK = 128, 64
+sk_scores = jnp.asarray(rng.randn(P_SK, K_SK, K_SK).astype(np.float32))
+sk_rm = jnp.asarray(np.arange(K_SK)[None, :] < rng.randint(40, 65, (P_SK, 1)))
+sk_cm = jnp.asarray(np.arange(K_SK)[None, :] < rng.randint(40, 65, (P_SK, 1)))
+sk_valid = (np.concatenate([np.asarray(sk_rm), np.ones((P_SK, 1), bool)], 1)[:, :, None]
+            & np.concatenate([np.asarray(sk_cm), np.ones((P_SK, 1), bool)], 1)[:, None, :])
+sk_proj = jnp.asarray(rng.randn(P_SK, K_SK + 1, K_SK + 1).astype(np.float32) * sk_valid)
+
+def sk_loss(backend, s, a):
+    out = log_sinkhorn_ot(s, sk_rm, sk_cm, a, num_iter=100, backend=backend,
+                          differentiable=True)
+    return jnp.sum(out * sk_proj)
+
+from roitr_tpu.ops.pallas.sinkhorn_kernel import supported_shape_bwd
+assert supported_shape_bwd(K_SK + 1, K_SK + 1, 100)
+gx = jax.jit(jax.grad(lambda s, a: sk_loss("xla", s, a), argnums=(0, 1)))(sk_scores, alpha)
+gp = jax.jit(jax.grad(lambda s, a: sk_loss("pallas", s, a), argnums=(0, 1)))(sk_scores, alpha)
+for name, xa, pa in zip(("dscores", "dalpha"), gx, gp):
+    xa, pa = np.asarray(xa), np.asarray(pa)
+    err = np.max(np.abs(pa - xa)) / (np.max(np.abs(xa)) + 1e-30)
+    assert err < 1e-4, f"sinkhorn bwd {name} pallas vs xla scan on chip: {err:.2e}"
+print("sinkhorn backward ok")
 print("ALL_OK")
 """
 
