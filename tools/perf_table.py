@@ -99,7 +99,11 @@ def render(path: str) -> str:
         if "device_ms_per_pair" in m:
             extras = (f" (device {m['device_ms_per_pair']:.1f}, roofline util "
                       f"{m.get('roofline_utilization', 0):.3f})")
-        vsb = f" ({m['vs_baseline']}x assumed ref)" if m.get("vs_baseline") else ""
+        kind = {
+            "measured_cpu_1core": "measured 1-core-CPU ref",
+            "assumed_gpu": "assumed GPU ref",
+        }.get(m.get("baseline_kind"), "assumed ref")
+        vsb = f" ({m['vs_baseline']}x {kind})" if m.get("vs_baseline") else ""
         lines.append(f"| {label} | {per} | {m['value']}{extras}{vsb} |")
     lines.append(END_MARK)
     return "\n".join(lines)
