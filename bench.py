@@ -259,7 +259,12 @@ def bench_sustained_tester(bucket, cfg, n_pairs):
         os.chdir(tmp)
         tester = Tester(cfg.replace(mode="test", exp_dir="bench"),
                         dataset=SplitDS(), params=params)
-        tester._fwd(params, make_inputs(bucket, cfg))  # compile outside timing
+        # compile outside timing with a REAL dataset item: under device_prep
+        # the items carry no normals/pyramids, a different pytree structure
+        # than make_inputs' — warming with the wrong treedef left the first
+        # timed pair paying the device-prep program's compile (~5 min cold)
+        from roitr_tpu.data.loader import dict_to_pair
+        tester._fwd(params, dict_to_pair(SplitDS()[0]))
         t0 = time.perf_counter()
         tester.test()
         dt = (time.perf_counter() - t0) / n_pairs

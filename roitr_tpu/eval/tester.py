@@ -26,6 +26,26 @@ from roitr_tpu.models.roitr import RoITr
 from roitr_tpu.train.checkpoint import load_checkpoint
 
 
+# the forward-output keys the dump actually reads (trim_outputs below).
+# The Tester fetches ONLY these, in ONE jax.device_get call: per-leaf
+# np.asarray over the whole 29-leaf output tree paid the ~33 ms tunnel RTT
+# per leaf (977 ms/pair measured); the batched subset fetch is 172 ms —
+# the tunnel's ~34 MB/s on the 5.7 MB dump payload, its hard floor
+# (tools/probe_tester_fetch.py, 2026-08-20).
+DUMP_KEYS = (
+    "src_count", "tgt_count", "src_node_count", "tgt_node_count",
+    "corr_masks", "src_points", "tgt_points", "src_nodes", "tgt_nodes",
+    "src_node_feats", "tgt_node_feats", "src_point_feats", "tgt_point_feats",
+    "src_corr_points", "tgt_corr_points", "corr_scores",
+    "gt_tgt_node_occ", "gt_src_node_occ",
+)
+
+
+def fetch_outputs(out: Dict) -> Dict[str, np.ndarray]:
+    """One batched D2H transfer of the dump-relevant output subset."""
+    return jax.device_get({k: out[k] for k in DUMP_KEYS})
+
+
 def trim_outputs(out: Dict, pair, metric_index=None) -> Dict[str, np.ndarray]:
     """Slice fixed-capacity buffers down to valid entries (host side)."""
     sc = int(out["src_count"])
@@ -145,8 +165,17 @@ class Tester:
         dump_pair(os.path.join(self.snapshot_dir, str(idx)), data)
 
     def test(self):
+        """Inference loop. The D2H fetch + trim + file dump run on ONE
+        worker thread (bounded queue): the fetch is the tunnel-bandwidth
+        floor (~172 ms/pair at the 2048 bucket — see DUMP_KEYS), so the
+        main thread's per-item host prep and the next dispatch overlap it
+        instead of serializing after it. Dumps are bit-identical to the
+        serial loop (same fetch_outputs values, tests/test_eval.py)."""
+        import queue
+        import threading
+
         n = len(self.dataset)
-        t_total = 0.0
+        t0_wall = time.perf_counter()
         pool, items = self._items(n)
         # packed batching: cfg.packed_batch groups batch_size same-bucket
         # pairs into ONE flat packed program per mesh shard (data/packing.py)
@@ -155,6 +184,38 @@ class Tester:
         dev_prep = bool(getattr(self.cfg, "device_prep", False))
         if pack > 1 and not (self.cfg.host_pyramid or dev_prep):
             raise ValueError("packed_batch requires host_pyramid or device_prep")
+
+        dq: queue.Queue = queue.Queue(maxsize=2)  # bounds live device outputs
+        errors: list = []
+
+        def worker():
+            while True:
+                job = dq.get()
+                try:
+                    if job is None:
+                        return
+                    entries, outs, flatten = job
+                    fetched = fetch_outputs(outs)  # ONE batched D2H transfer
+                    if flatten:  # (D, B, ...) -> flat pair-major (D*B, ...)
+                        fetched = {k: v.reshape((-1,) + v.shape[2:])
+                                   for k, v in fetched.items()}
+                    for idx, item, pair, i in entries:
+                        o = fetched if i is None else \
+                            {k: v[i] for k, v in fetched.items()}
+                        self._dump(idx, item, pair, o)
+                except Exception as e:
+                    errors.append(e)
+                finally:
+                    dq.task_done()
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+
+        def submit(entries, outs, flatten=False):
+            if errors:
+                raise errors[0]
+            dq.put((entries, outs, flatten))
+
         if self.dp > 1 or pack > 1:
             from roitr_tpu.data.packing import pack_pairs
             from roitr_tpu.data.synthetic import stack_pairs
@@ -163,7 +224,6 @@ class Tester:
             pending: Dict[int, list] = {}  # bucket -> [(idx, item, pair)]
 
             def run_group(group):
-                nonlocal t_total
                 real = len(group)
                 while len(group) < group_size:  # pad tail by repeating the last
                     group = group + [group[-1]]
@@ -176,22 +236,15 @@ class Tester:
                     ]
                 else:
                     shards = pairs
-                t0 = time.perf_counter()
                 if self.dp > 1:
                     batch = stack_pairs(shards)
                     with self.mesh:
                         outs = self._fwd_sharded(self.params, batch)
-                    outs = jax.tree_util.tree_map(np.asarray, outs)  # fence
-                    if pack > 1:  # (D, B, ...) -> flat pair-major (D*B, ...)
-                        outs = jax.tree_util.tree_map(
-                            lambda a: a.reshape((-1,) + a.shape[2:]), outs)
                 else:
                     outs = self._fwd(self.params, shards[0])
-                    outs = jax.tree_util.tree_map(np.asarray, outs)
-                t_total += time.perf_counter() - t0
-                for i, (idx, item, pair) in enumerate(group[:real]):
-                    self._dump(idx, item, pair,
-                               jax.tree_util.tree_map(lambda a: a[i], outs))
+                submit([(idx, item, pair, i)
+                        for i, (idx, item, pair) in enumerate(group[:real])],
+                       outs, flatten=(self.dp > 1 and pack > 1))
 
             for idx, item in enumerate(items):
                 pair = dict_to_pair(item)
@@ -205,15 +258,20 @@ class Tester:
         else:
             for idx, item in enumerate(items):
                 pair = dict_to_pair(item)
-                t0 = time.perf_counter()
-                out = self._fwd(self.params, pair)
-                out = jax.tree_util.tree_map(np.asarray, out)  # host fetch = fence
-                t_total += time.perf_counter() - t0
-                self._dump(idx, item, pair, out)
+                out = self._fwd(self.params, pair)  # async dispatch
+                submit([(idx, item, pair, None)], out)
+
+        dq.put(None)
+        dq.join()
+        thread.join()
+        if errors:
+            raise errors[0]
         if pool is not None:
             pool.close()
         if n:
-            print(f"tested {n} pairs, {t_total / n:.3f}s/pair (incl. compile)")
+            wall = time.perf_counter() - t0_wall
+            print(f"tested {n} pairs, {wall / n:.3f}s/pair "
+                  f"(wall incl. compile + fetch + dumps)")
 
 
 def get_trainer(cfg: Config):
