@@ -456,9 +456,13 @@ def main():
     # program, VERDICT r4 #2 — the host pipeline was ~1.15 s/pair of prep on
     # this 1-core host); the _hostprep line keeps the dataset-identical prep
     # path measured (production hosts hide it in loader workers).
+    # _c2f: dump only what the offline evaluators read + device-compacted
+    # corr buffers (~0.5 vs 5.7 MB D2H per pair — the fetch is this
+    # tunnel's ~34 MB/s bandwidth floor, PERFORMANCE.md "Tester fetch")
     for suffix, extra in (("", dict(device_prep=True, host_pyramid=False,
                                     knn_method="approx", sinkhorn_iters=100)),
-                          ("_hostprep", prod)):
+                          ("_hostprep", prod),
+                          ("_c2f", dict(prod, dump_mode="c2f"))):
         try:
             pps = bench_sustained_tester(
                 2048, Config(benchmark="3DMatch", buckets=(2048,), **extra), 16)

@@ -76,6 +76,20 @@ class Config:
     # ~1 ms. Overrides host_pyramid for prep placement; normals differ from
     # the host path only at closed-form-vs-LAPACK eigensolver tolerance.
     device_prep: bool = False
+    # test-split dump payload. "full" = the reference's exact key set
+    # (lib/tester.py:56-68, bit-compatible). "c2f" = only what the live
+    # offline evaluators actually read: the c2f/Redwood registration path
+    # consumes corr_pts + confidence + rot/trans (the point/node
+    # descriptors are loaded but never USED by the reference's own
+    # registration/evaluate_registration_c2f.py:69-75), and the
+    # fixed-capacity corr buffers are compacted on device to dump_corr_cap
+    # entries — ~11x less D2H payload per pair (5.7 -> ~0.5 MB at 2048).
+    # Empty placeholder descriptor tensors keep the unchanged reference
+    # script loadable. Dumped corr arrays are bit-identical to "full"
+    # whenever the valid count fits the cap (stable compaction; the Tester
+    # warns and truncates otherwise).
+    dump_mode: str = "full"
+    dump_corr_cap: int = 16384
 
     # ---- coarse matching ----
     matching_radius: float = 0.05

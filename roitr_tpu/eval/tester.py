@@ -41,9 +41,58 @@ DUMP_KEYS = (
 )
 
 
-def fetch_outputs(out: Dict) -> Dict[str, np.ndarray]:
+# dump_mode="c2f": only what the live offline evaluators READ. The
+# reference's own registration/evaluate_registration_c2f.py:69-75 loads the
+# point/node descriptors and never uses them (RANSAC consumes corr_pts +
+# confidence + rot/trans); dropping them plus compacting the corr buffers
+# (compact_corr below) cuts the payload 5.7 -> ~0.5 MB per 2048-bucket pair
+# — the fetch is this tunnel's ~34 MB/s bandwidth floor (PERFORMANCE.md).
+C2F_KEYS = (
+    "src_count", "tgt_count", "src_node_count", "tgt_node_count",
+    "src_points", "tgt_points", "src_nodes", "tgt_nodes",
+    "corr_count", "corr_total",
+    "src_corr_points", "tgt_corr_points", "corr_scores",
+    "gt_tgt_node_occ", "gt_src_node_occ",
+)
+# keys the reference evaluator loads but never uses — dumped as empty
+# placeholders in c2f mode so the unchanged script still runs
+C2F_PLACEHOLDERS = ("src_node_desc", "tgt_node_desc",
+                    "src_point_desc", "tgt_point_desc")
+
+
+def compact_corr(out: Dict, cap: int) -> Dict:
+    """Device-side stable compaction of the fixed-capacity corr buffers.
+
+    Valid entries move to the front IN ORIGINAL ORDER (argsort of the
+    inverted mask is stable), so whenever the valid count fits `cap` the
+    trimmed dump is bit-identical to dump_mode="full". `corr_total`
+    carries the untruncated count for the host-side overflow warning.
+    Handles a leading batch dim (packed forward) via vmap.
+    """
+    import jax.numpy as jnp
+
+    def one(masks, src, tgt, scores):
+        k = min(cap, masks.shape[0])
+        order = jnp.argsort(jnp.logical_not(masks), stable=True)[:k]
+        total = jnp.sum(masks.astype(jnp.int32))
+        return {
+            "src_corr_points": src[order],
+            "tgt_corr_points": tgt[order],
+            "corr_scores": scores[order],
+            "corr_total": total,
+            "corr_count": jnp.minimum(total, k),
+        }
+
+    fn = jax.vmap(one) if out["corr_masks"].ndim == 2 else one
+    res = dict(out)
+    res.update(fn(out["corr_masks"], out["src_corr_points"],
+                  out["tgt_corr_points"], out["corr_scores"]))
+    return res
+
+
+def fetch_outputs(out: Dict, keys=DUMP_KEYS) -> Dict[str, np.ndarray]:
     """One batched D2H transfer of the dump-relevant output subset."""
-    return jax.device_get({k: out[k] for k in DUMP_KEYS})
+    return jax.device_get({k: out[k] for k in keys})
 
 
 def trim_outputs(out: Dict, pair, metric_index=None) -> Dict[str, np.ndarray]:
@@ -52,6 +101,36 @@ def trim_outputs(out: Dict, pair, metric_index=None) -> Dict[str, np.ndarray]:
     tc = int(out["tgt_count"])
     snc = int(out["src_node_count"])
     tnc = int(out["tgt_node_count"])
+
+    if "src_point_feats" not in out:  # dump_mode="c2f" (compact_corr applied)
+        cc = int(out["corr_count"])
+        total = int(out["corr_total"])
+        if total > cc:
+            import warnings
+
+            warnings.warn(
+                f"dump_mode='c2f': {total} valid correspondences truncated "
+                f"to dump_corr_cap={cc}; raise cfg.dump_corr_cap")
+        data = {
+            "src_raw_pcd": np.asarray(pair.src_raw_points)[:sc],
+            "src_pcd": np.asarray(out["src_points"])[:sc],
+            "tgt_pcd": np.asarray(out["tgt_points"])[:tc],
+            "src_nodes": np.asarray(out["src_nodes"])[:snc],
+            "tgt_nodes": np.asarray(out["tgt_nodes"])[:tnc],
+            "src_corr_pts": np.asarray(out["src_corr_points"])[:cc],
+            "tgt_corr_pts": np.asarray(out["tgt_corr_points"])[:cc],
+            "confidence": np.asarray(out["corr_scores"])[:cc],
+            "gt_tgt_node_occ": np.asarray(out["gt_tgt_node_occ"])[:tnc],
+            "gt_src_node_occ": np.asarray(out["gt_src_node_occ"])[:snc],
+            "rot": np.asarray(pair.rot),
+            "trans": np.asarray(pair.trans),
+        }
+        for k in C2F_PLACEHOLDERS:
+            data[k] = np.zeros((0,), np.float32)
+        if metric_index is not None:
+            data["metric_index_list"] = np.asarray(metric_index)
+        return data
+
     cmask = np.asarray(out["corr_masks"])
 
     data = {
@@ -125,6 +204,10 @@ class Tester:
         # 1-core host; the reference hides the same cost in DataLoader
         # workers, lib/tester.py:19-69 via main.py:113-127)
         dev_prep = bool(getattr(cfg, "device_prep", False))
+        dump_mode = getattr(cfg, "dump_mode", "full") or "full"
+        if dump_mode not in ("full", "c2f"):
+            raise ValueError(f"dump_mode must be 'full' or 'c2f', got {dump_mode!r}")
+        self.fetch_keys = DUMP_KEYS if dump_mode == "full" else C2F_KEYS
 
         def apply_one(p, x):
             if dev_prep:
@@ -132,7 +215,10 @@ class Tester:
 
                 x = (device_prep_packed(x, cfg) if x.src_count.ndim
                      else device_prep_pair(x, cfg))
-            return self.model.apply({"params": p}, x, train=False)
+            out = self.model.apply({"params": p}, x, train=False)
+            if dump_mode == "c2f":
+                out = compact_corr(out, int(getattr(cfg, "dump_corr_cap", 16384)))
+            return out
 
         if self.dp > 1:
             from roitr_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
@@ -195,7 +281,7 @@ class Tester:
                     if job is None:
                         return
                     entries, outs, flatten = job
-                    fetched = fetch_outputs(outs)  # ONE batched D2H transfer
+                    fetched = fetch_outputs(outs, self.fetch_keys)  # ONE batched D2H
                     if flatten:  # (D, B, ...) -> flat pair-major (D*B, ...)
                         fetched = {k: v.reshape((-1,) + v.shape[2:])
                                    for k, v in fetched.items()}

@@ -157,6 +157,73 @@ def test_tester_dumps_files(tmp_path, monkeypatch):
     assert data["confidence"].shape[0] == data["src_corr_pts"].shape[0]
 
 
+def test_tester_c2f_dump_mode(tmp_path, monkeypatch):
+    """dump_mode='c2f' drops the never-read descriptor tensors and compacts
+    the corr buffers on device (stable order). The corr/points keys must be
+    BIT-identical to dump_mode='full' whenever the valid count fits
+    dump_corr_cap; placeholder descriptor keys keep the unchanged reference
+    evaluator loadable; a too-small cap warns and truncates. Also pins the
+    dp-sharded c2f path against the single-device one."""
+    monkeypatch.chdir(tmp_path)
+    import torch
+
+    from roitr_tpu.data.loader import dict_to_pair
+    from roitr_tpu.eval.tester import C2F_PLACEHOLDERS, Tester
+    from roitr_tpu.models.roitr import RoITr
+
+    cfg = TINY.replace(mode="test")
+    ds = SyntheticDataset(3)
+    model = RoITr(cfg)
+    pair = dict_to_pair(ds[0])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        pair, train=False,
+    )["params"]
+
+    Tester(cfg.replace(exp_dir="full"), dataset=ds, params=params).test()
+    Tester(cfg.replace(exp_dir="c2f", dump_mode="c2f"),
+           dataset=ds, params=params).test()
+    Tester(cfg.replace(exp_dir="c2f_dp", dump_mode="c2f", dp_size=2),
+           dataset=ds, params=params).test()
+
+    shared = ("src_raw_pcd", "src_pcd", "tgt_pcd", "src_nodes", "tgt_nodes",
+              "src_corr_pts", "tgt_corr_pts", "confidence",
+              "gt_tgt_node_occ", "gt_src_node_occ", "rot", "trans")
+    for i in range(3):
+        a = torch.load(os.path.join("snapshot", "full", cfg.benchmark, f"{i}.pth"),
+                       weights_only=False)
+        b = torch.load(os.path.join("snapshot", "c2f", cfg.benchmark, f"{i}.pth"),
+                       weights_only=False)
+        c = torch.load(os.path.join("snapshot", "c2f_dp", cfg.benchmark, f"{i}.pth"),
+                       weights_only=False)
+        for k in shared:
+            np.testing.assert_array_equal(
+                a[k].numpy(), b[k].numpy(), err_msg=f"pair {i}: {k}")
+            np.testing.assert_array_equal(
+                b[k].numpy(), c[k].numpy(), err_msg=f"dp pair {i}: {k}")
+        for k in C2F_PLACEHOLDERS:  # loadable by the reference script
+            assert k in b and b[k].numel() == 0
+            assert a[k].numel() > 0  # full mode keeps real descriptors
+
+    # overflow: cap smaller than the valid corr count -> warning + truncation
+    a = torch.load(os.path.join("snapshot", "full", cfg.benchmark, "0.pth"),
+                   weights_only=False)
+    n_valid = a["confidence"].shape[0]
+    assert n_valid > 2
+    with pytest.warns(UserWarning, match="truncated"):
+        Tester(cfg.replace(exp_dir="c2f_trunc", dump_mode="c2f",
+                           dump_corr_cap=2),
+               dataset=SyntheticDataset(1), params=params).test()
+    t = torch.load(os.path.join("snapshot", "c2f_trunc", cfg.benchmark, "0.pth"),
+                   weights_only=False)
+    assert t["confidence"].shape[0] == 2
+    np.testing.assert_array_equal(t["src_corr_pts"].numpy(),
+                                  a["src_corr_pts"].numpy()[:2])
+
+    with pytest.raises(ValueError, match="dump_mode"):
+        Tester(cfg.replace(dump_mode="bogus"), dataset=ds, params=params)
+
+
 def test_tester_dp_sharded_matches_single(tmp_path, monkeypatch):
     """cfg.dp_size > 1 shards test-split inference over the device mesh
     (one pair per device); the per-pair dumps must be bit-identical to

@@ -41,6 +41,7 @@ ROWS = [
     ("sustained serving 512 (host prep)", "sustained_serving_pairs_per_sec_512_hostprep", "ms_per_pair"),
     ("sustained tester 2048", "sustained_tester_pairs_per_sec_n2048", "ms_per_pair"),
     ("sustained tester 2048 (host prep)", "sustained_tester_pairs_per_sec_n2048_hostprep", "ms_per_pair"),
+    ("sustained tester 2048 (c2f dumps)", "sustained_tester_pairs_per_sec_n2048_c2f", "ms_per_pair"),
     ("train step 2048", "train_steps_per_sec_n2048", "ms_per_step"),
     ("train step 32768", "train_steps_per_sec_n32768", "ms_per_step"),
     ("train step 32768 bf16", "train_steps_per_sec_n32768_bf16", "ms_per_step"),

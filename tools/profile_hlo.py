@@ -39,8 +39,13 @@ def build():
     from roitr_tpu.models.backbone import RIPointTransformer
     from roitr_tpu.models.roitr import RoITr
 
+    extra = {}
+    if BENCHMARK == "4DMatch":
+        # the SHIPPED 4D matching sizes (bench.py n2048_4dmatch /
+        # configs/test/fdmatch.yaml) — Config defaults inflate matching 2x
+        extra = dict(num_est_coarse_corr=128, fine_matching_topk=2)
     cfg = Config(benchmark=BENCHMARK, sinkhorn_iters=100,
-                 host_pyramid=True, knn_method="approx")
+                 host_pyramid=True, knn_method="approx", **extra)
     pair = make_inputs(BUCKET, cfg)
 
     if PROGRAM == "train":
